@@ -1,0 +1,287 @@
+"""Minimal WFDB signal reader/writer (clean-room, from the published WFDB spec).
+
+The reference reads PTB-XL records with the ``wfdb`` package
+(reference: src/datasets/ptbxl.py:25-27).  That package is not part of this
+framework's dependency set, so we implement the subset of the format PTB-XL
+needs — and a bit more — directly:
+
+* header (.hea) parsing: record line + signal lines, including gain/baseline/
+  units syntax ``gain(baseline)/units``
+* signal (.dat) decoding for formats 16 (PTB-XL), 32, 80, and 212
+* physical conversion ``(adc - baseline) / gain`` with WFDB missing-sample
+  sentinel -> NaN, matching wfdb.rdsamp numerics
+* format-16 writing (used to build hermetic test fixtures)
+
+Returned signals are ``[T, n_sig]`` like ``wfdb.rdsamp``, so downstream code
+keeps the reference's transpose-to-[12, T] convention at its boundary.
+
+A batched C++ fast path for format 16 lives in csrc/ (see
+ptbxl_tpu.io.native); this module is the portable fallback and the source of
+truth for semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# WFDB missing-sample sentinels per format (most negative representable value)
+_MISSING = {16: -32768, 32: -(2**31), 80: -128, 212: -2048, 24: -(2**23)}
+
+_DEFAULT_GAIN = 200.0
+
+
+@dataclass
+class SignalSpec:
+    file_name: str
+    fmt: int
+    samps_per_frame: int = 1
+    skew: int = 0
+    byte_offset: int = 0
+    gain: float = _DEFAULT_GAIN
+    baseline: Optional[int] = None  # defaults to adc_zero when absent
+    units: str = "mV"
+    adc_res: int = 0
+    adc_zero: int = 0
+    init_value: int = 0
+    checksum: int = 0
+    block_size: int = 0
+    description: str = ""
+
+    @property
+    def effective_baseline(self) -> int:
+        return self.baseline if self.baseline is not None else self.adc_zero
+
+
+@dataclass
+class WFDBHeader:
+    record_name: str
+    n_sig: int
+    fs: float
+    n_samples: int
+    signals: List[SignalSpec] = field(default_factory=list)
+
+
+def _parse_record_line(line: str) -> Tuple[str, int, float, int]:
+    parts = line.split()
+    name = parts[0].split("/")[0]
+    n_sig = int(parts[1])
+    fs = 250.0
+    n_samples = 0
+    if len(parts) >= 3:
+        # fs may carry counter-frequency/base suffixes: "500/500(0)"
+        fs = float(parts[2].split("/")[0].split("(")[0])
+    if len(parts) >= 4:
+        n_samples = int(parts[3])
+    return name, n_sig, fs, n_samples
+
+
+def _parse_signal_line(line: str) -> SignalSpec:
+    parts = line.split(None, 8)
+    file_name = parts[0]
+
+    fmt_field = parts[1]
+    samps_per_frame, skew, byte_offset = 1, 0, 0
+    if "+" in fmt_field:
+        fmt_field, off = fmt_field.split("+", 1)
+        byte_offset = int(off)
+    if ":" in fmt_field:
+        fmt_field, sk = fmt_field.split(":", 1)
+        skew = int(sk)
+    if "x" in fmt_field:
+        fmt_field, spf = fmt_field.split("x", 1)
+        samps_per_frame = int(spf)
+    fmt = int(fmt_field)
+
+    spec = SignalSpec(
+        file_name=file_name,
+        fmt=fmt,
+        samps_per_frame=samps_per_frame,
+        skew=skew,
+        byte_offset=byte_offset,
+    )
+
+    if len(parts) >= 3:
+        gain_field = parts[2]
+        if "/" in gain_field:
+            gain_field, units = gain_field.split("/", 1)
+            spec.units = units
+        if "(" in gain_field:
+            gain_str, base_str = gain_field.split("(", 1)
+            spec.baseline = int(base_str.rstrip(")"))
+            gain_field = gain_str
+        gain = float(gain_field)
+        spec.gain = gain if gain != 0 else _DEFAULT_GAIN
+
+    if len(parts) >= 4:
+        spec.adc_res = int(parts[3])
+    if len(parts) >= 5:
+        spec.adc_zero = int(parts[4])
+    if len(parts) >= 6:
+        spec.init_value = int(parts[5])
+    if len(parts) >= 7:
+        spec.checksum = int(parts[6])
+    if len(parts) >= 8:
+        spec.block_size = int(parts[7])
+    if len(parts) >= 9:
+        spec.description = parts[8].strip()
+
+    return spec
+
+
+def read_header(record_path: str) -> WFDBHeader:
+    """Parse ``record_path + '.hea'``. ``record_path`` has no extension."""
+    hea_path = record_path + ".hea"
+    with open(hea_path, "r", encoding="utf-8", errors="replace") as f:
+        lines = [ln.strip() for ln in f]
+    lines = [ln for ln in lines if ln and not ln.startswith("#")]
+    if not lines:
+        raise ValueError(f"Empty WFDB header: {hea_path}")
+
+    name, n_sig, fs, n_samples = _parse_record_line(lines[0])
+    header = WFDBHeader(record_name=name, n_sig=n_sig, fs=fs, n_samples=n_samples)
+
+    if len(lines) < 1 + n_sig:
+        raise ValueError(f"Header {hea_path} declares {n_sig} signals but has {len(lines)-1} signal lines")
+    for ln in lines[1 : 1 + n_sig]:
+        header.signals.append(_parse_signal_line(ln))
+
+    return header
+
+
+def _decode_fmt16(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
+    adc = np.frombuffer(raw, dtype="<i2", count=n_samples * n_sig)
+    return adc.reshape(n_samples, n_sig)
+
+
+def _decode_fmt32(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
+    adc = np.frombuffer(raw, dtype="<i4", count=n_samples * n_sig)
+    return adc.reshape(n_samples, n_sig)
+
+
+def _decode_fmt80(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
+    # 8-bit offset binary: stored byte = value + 128
+    b = np.frombuffer(raw, dtype=np.uint8, count=n_samples * n_sig)
+    return (b.astype(np.int16) - 128).reshape(n_samples, n_sig)
+
+
+def _decode_fmt212(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
+    # Pairs of 12-bit samples packed into 3 bytes.
+    total = n_samples * n_sig
+    n_pairs = (total + 1) // 2
+    b = np.frombuffer(raw, dtype=np.uint8, count=n_pairs * 3).astype(np.int32)
+    b0, b1, b2 = b[0::3], b[1::3], b[2::3]
+    s1 = ((b1 & 0x0F) << 8) | b0
+    s2 = ((b1 & 0xF0) << 4) | b2
+    s1 = np.where(s1 > 2047, s1 - 4096, s1)
+    s2 = np.where(s2 > 2047, s2 - 4096, s2)
+    flat = np.empty(n_pairs * 2, dtype=np.int32)
+    flat[0::2] = s1
+    flat[1::2] = s2
+    return flat[:total].reshape(n_samples, n_sig)
+
+
+_DECODERS = {16: _decode_fmt16, 32: _decode_fmt32, 80: _decode_fmt80, 212: _decode_fmt212}
+
+
+def read_adc(record_path: str, header: Optional[WFDBHeader] = None) -> Tuple[np.ndarray, WFDBHeader]:
+    """Read raw ADC integer samples ``[T, n_sig]`` (no physical conversion)."""
+    if header is None:
+        header = read_header(record_path)
+
+    if any(s.samps_per_frame != 1 or s.skew != 0 for s in header.signals):
+        raise NotImplementedError("samps_per_frame/skew not supported (not used by PTB-XL)")
+
+    rec_dir = os.path.dirname(record_path)
+    # Signals grouped by .dat file; within a file they are interleaved per frame.
+    out = np.empty((header.n_samples, header.n_sig), dtype=np.int32)
+    col = 0
+    i = 0
+    while i < header.n_sig:
+        fname = header.signals[i].file_name
+        group = [header.signals[i]]
+        j = i + 1
+        while j < header.n_sig and header.signals[j].file_name == fname:
+            group.append(header.signals[j])
+            j += 1
+        fmt = group[0].fmt
+        if any(s.fmt != fmt for s in group):
+            raise NotImplementedError("mixed formats within one signal file")
+        if fmt not in _DECODERS:
+            raise NotImplementedError(f"WFDB format {fmt} not supported")
+
+        dat_path = os.path.join(rec_dir, fname)
+        with open(dat_path, "rb") as f:
+            if group[0].byte_offset:
+                f.seek(group[0].byte_offset)
+            raw = f.read()
+        adc = _DECODERS[fmt](raw, header.n_samples, len(group))
+        out[:, col : col + len(group)] = adc
+        col += len(group)
+        i = j
+
+    return out, header
+
+
+def rdsamp(record_path: str) -> Tuple[np.ndarray, WFDBHeader]:
+    """Read a record and return physical float signal ``[T, n_sig]`` + header.
+
+    Physical conversion matches wfdb.rdsamp: ``(adc - baseline) / gain`` in
+    float64 with missing-sample sentinels mapped to NaN.  The reference then
+    casts to float32 (src/datasets/ptbxl.py:29); callers do the same.
+    """
+    adc, header = read_adc(record_path)
+    phys = np.empty(adc.shape, dtype=np.float64)
+    for c, spec in enumerate(header.signals):
+        colv = adc[:, c].astype(np.float64)
+        colv = (colv - spec.effective_baseline) / spec.gain
+        missing = _MISSING.get(spec.fmt)
+        if missing is not None:
+            colv[adc[:, c] == missing] = np.nan
+        phys[:, c] = colv
+    return phys, header
+
+
+# ----------------------------------------------------------------------------
+# Writing (format 16 only) — used to generate hermetic synthetic fixtures.
+# ----------------------------------------------------------------------------
+
+def write_record_fmt16(
+    record_path: str,
+    physical: np.ndarray,
+    fs: float = 500.0,
+    gain: float = 1000.0,
+    baseline: int = 0,
+    units: str = "mV",
+    descriptions: Optional[List[str]] = None,
+) -> None:
+    """Write ``physical`` ``[T, n_sig]`` as a format-16 WFDB record."""
+    T, n_sig = physical.shape
+    adc = np.rint(physical * gain + baseline)
+    adc = np.clip(adc, -32767, 32767).astype(np.int16)
+
+    rec_name = os.path.basename(record_path)
+    dat_name = rec_name + ".dat"
+
+    os.makedirs(os.path.dirname(record_path) or ".", exist_ok=True)
+    with open(record_path + ".dat", "wb") as f:
+        f.write(adc.astype("<i2").tobytes())
+
+    if descriptions is None:
+        descriptions = [f"sig{c}" for c in range(n_sig)]
+
+    # 16-bit signed checksum of all samples of each signal
+    lines = [f"{rec_name} {n_sig} {fs:g} {T}"]
+    for c in range(n_sig):
+        cks = int(np.sum(adc[:, c].astype(np.int64)) & 0xFFFF)
+        if cks >= 32768:
+            cks -= 65536
+        init = int(adc[0, c]) if T else 0
+        lines.append(
+            f"{dat_name} 16 {gain:g}({baseline})/{units} 16 0 {init} {cks} 0 {descriptions[c]}"
+        )
+    with open(record_path + ".hea", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")

@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip data-parallel sharding is
+exercised hermetically (SURVEY.md §4): set XLA flags BEFORE jax initializes.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from tests.fixtures.synthetic_ptbxl import make_synthetic_ptbxl  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ptbxl_dir(tmp_path_factory):
+    """A tiny hermetic PTB-XL-shaped dataset on disk (WFDB records + CSVs)."""
+    root = tmp_path_factory.mktemp("ptbxl")
+    make_synthetic_ptbxl(str(root), n_records=40, n_samples=512, seed=0)
+    return str(root)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
