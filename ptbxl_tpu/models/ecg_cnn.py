@@ -1,0 +1,118 @@
+"""Flax 1D-CNN ECG classifier — TPU-native rebuild of the reference ECGCNN.
+
+Capability parity with reference src/models/ecg_cnn.py:23-68 (4 ConvBlocks
+12->32->64->128->256, GAP, 256-d projection, linear head; 719,397 params for
+5 labels), but designed for TPU/XLA:
+
+* channels-last ``[B, T, C]`` layout so the channel dim rides the 128-wide
+  lanes and convs lower onto the MXU
+* an explicit ``features`` / ``tail`` split at the last conv's pre-activation,
+  so Grad-CAM is a pure ``jax.vjp`` on ``tail`` (no hooks; reference used
+  forward/backward hooks on the last Conv1d, grad_cam_1d.py:36)
+* BatchNorm carried as a ``batch_stats`` collection; torch-compatible
+  epsilon=1e-5 and momentum (torch 0.1 == flax 0.9)
+* MaxPool(2) with VALID padding floors odd lengths exactly like torch
+  (T=5000 -> 2500 -> 1250 -> 625 -> 312)
+
+Numerical parity with converted reference weights is verified against golden
+outputs in tests/test_model_parity.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Numerical-parity note: this environment's default conv/dot precision reduces
+# inputs to bf16 (fast on the MXU but ~1e-3 relative error).  The parity path
+# uses "highest" (true f32); the perf path can relax to "default" (bf16 passes
+# on the MXU) via the ``precision`` attribute.
+PARITY_PRECISION = "highest"
+
+
+class ConvBlock(nn.Module):
+    """Conv1d(k=15, SAME) -> BatchNorm -> ReLU -> MaxPool(2).
+
+    Mirrors reference ecg_cnn.py:5-20.  Exposes ``conv_only``/``post`` so a
+    caller can tap the pre-BN conv activation (the Grad-CAM target).
+    """
+
+    features: int
+    kernel_size: int = 15
+    pool: int = 2
+    precision: Optional[str] = PARITY_PRECISION
+    dtype: Optional[jnp.dtype] = jnp.float32
+
+    def setup(self):
+        k = self.kernel_size
+        self.conv = nn.Conv(
+            self.features,
+            kernel_size=(k,),
+            padding=[(k // 2, k // 2)],
+            dtype=self.dtype,
+            precision=self.precision,
+        )
+        self.bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+
+    def conv_only(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.conv(x)
+
+    def post(self, a: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = self.bn(a, use_running_average=not train)
+        h = nn.relu(h)
+        return nn.max_pool(h, window_shape=(self.pool,), strides=(self.pool,), padding="VALID")
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.post(self.conv_only(x), train)
+
+
+class ECGCNN(nn.Module):
+    """CNN encoder for 12-lead ECG classification (channels-last).
+
+    Args mirror the reference (ecg_cnn.py:32): ``feat_dim`` latent size,
+    ``num_labels`` outputs. Input is ``[B, T, in_leads]``.
+    """
+
+    feat_dim: int = 256
+    num_labels: int = 3
+    channels: Sequence[int] = (32, 64, 128, 256)
+    in_leads: int = 12  # documentation only; Conv infers input channels
+    precision: Optional[str] = PARITY_PRECISION
+    dtype: Optional[jnp.dtype] = jnp.float32
+
+    def setup(self):
+        self.blocks = [
+            ConvBlock(c, precision=self.precision, dtype=self.dtype) for c in self.channels
+        ]
+        self.proj = nn.Dense(self.feat_dim, precision=self.precision, dtype=self.dtype)
+        self.head = nn.Dense(self.num_labels, precision=self.precision, dtype=self.dtype)
+
+    def features(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Blocks 0..n-2 fully + last block's conv: the Grad-CAM tap ``A``.
+
+        Returns the last Conv1d pre-activation ``[B, T', C_last]`` (T'=625 for
+        T=5000), exactly what the reference's forward hook captured.
+        """
+        for blk in self.blocks[:-1]:
+            x = blk(x, train)
+        return self.blocks[-1].conv_only(x)
+
+    def tail(
+        self, a: jnp.ndarray, train: bool = False, return_features: bool = False
+    ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Last block's BN/ReLU/pool + GAP + proj + head, from the tap ``A``."""
+        h = self.blocks[-1].post(a, train)
+        g = jnp.mean(h, axis=1)  # AdaptiveAvgPool1d(1) == mean over time
+        z = self.proj(g)
+        logits = self.head(z)
+        if return_features:
+            return logits, z
+        return logits
+
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, return_features: bool = False
+    ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """x: [B, T, in_leads] -> logits [B, num_labels] (or (logits, z))."""
+        return self.tail(self.features(x, train), train, return_features)

@@ -17,6 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent XLA compilation cache: the parity tests jit several full-length
+# models; caching makes re-runs of the suite fast.
+try:
+    import jax
+
+    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from tests.fixtures.synthetic_ptbxl import make_synthetic_ptbxl  # noqa: E402
 
 
