@@ -1,0 +1,118 @@
+"""Batch pipeline: shuffle, fixed-shape padded batches, device prefetch.
+
+Differences from the reference's torch DataLoader (scripts/03:107-118),
+dictated by XLA's static-shape compilation model:
+
+* the last partial batch is PADDED to the full batch size and carries a
+  ``mask`` [B] so loss/metrics ignore padding (torch ran ragged batches;
+  under jit that would trigger a recompile per ragged shape)
+* batches are channels-last ``[B, T, leads]`` float32, raw (un-normalized) —
+  the per-lead z-score is fused on device (ops/preprocess.py)
+* a background thread prefetches + ``jax.device_put``s the next batch with the
+  data-parallel sharding while the current step runs (overlaps H2D with
+  compute; the reference relied on DataLoader worker processes)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class BatchSource:
+    """Assembles host batches from a dataset (optionally via an ADCCache)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 42,
+        use_adc_cache: bool = True,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.n = len(dataset)
+        self.has_demo = hasattr(dataset, "demo")
+        self._cache = None
+        if use_adc_cache and self.n > 0:
+            from ptbxl_tpu.data.cache import ADCCache
+
+            try:
+                self._cache = ADCCache(
+                    dataset.base_dir, dataset.df["filename_hr"].tolist()
+                ).ensure_built()
+            except Exception as e:  # non-uniform lengths etc. -> per-record reads
+                print(f"[BatchSource] ADC cache unavailable ({e}); falling back to per-record reads")
+                self._cache = None
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def _signals(self, idx: np.ndarray) -> np.ndarray:
+        if self._cache is not None:
+            return self._cache.get_physical(idx)  # [B, L, T]
+        return np.stack([self.ds.get_raw(int(i)) for i in idx], axis=0)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch_idx).shuffle(order)
+
+        bs = self.batch_size
+        for start in range(0, self.n, bs):
+            idx = order[start : start + bs]
+            real = len(idx)
+            if real < bs:  # pad to fixed shape
+                idx = np.concatenate([idx, np.repeat(idx[-1:], bs - real)])
+            sig = self._signals(idx)  # [B, L, T]
+            batch = {
+                "ecg": np.ascontiguousarray(sig.transpose(0, 2, 1), dtype=np.float32),
+                "y": self.ds.y[idx].astype(np.float32),
+                "mask": (np.arange(bs) < real).astype(np.float32),
+            }
+            if self.has_demo:
+                batch["demo"] = self.ds.demo[idx].astype(np.float32)
+            yield batch
+
+
+def device_prefetch(
+    host_iter: Iterator[Dict[str, np.ndarray]],
+    sharding=None,
+    depth: int = 2,
+) -> Iterator[Dict]:
+    """Move batches to device ahead of consumption (double buffering).
+
+    ``sharding`` is a jax.sharding.Sharding pytree-prefix (typically a
+    NamedSharding with the batch axis on the mesh's 'data' axis).
+    """
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    def producer():
+        try:
+            for batch in host_iter:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,30 @@
+"""On-device preprocessing ops (XLA path; Pallas fused variants in ops/pallas).
+
+The reference z-scores each record on the host inside __getitem__
+(reference: src/datasets/ptbxl.py:122-127).  We fuse it into the device step:
+one vectorized op over the whole batch, overlapped with the H2D prefetch.
+Math is identical: per-lead mean/std over time, ``(x - mean) / (std + 1e-6)``,
+with numpy-style population std (ddof=0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-6
+
+
+def zscore_per_lead_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-lead z-score over the time axis of a channels-last batch.
+
+    Args:
+        x: [B, T, C] raw signals
+    Returns:
+        [B, T, C] normalized, same dtype
+    """
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    # population std, computed via E[x^2]-E[x]^2-free two-pass form for accuracy
+    var = jnp.mean(jnp.square(x - mean), axis=1, keepdims=True)
+    std = jnp.sqrt(var)
+    return (x - mean) / (std + EPS)

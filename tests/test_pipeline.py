@@ -1,0 +1,87 @@
+"""Batch pipeline: cache equivalence, padding/masking, prefetch, device ops."""
+
+import numpy as np
+import pytest
+
+from ptbxl_tpu.data import PTBXLDataset, PTBXLECGMultimodalDataset
+from ptbxl_tpu.data.cache import ADCCache
+from ptbxl_tpu.data.datasets import zscore_per_lead
+from ptbxl_tpu.data.pipeline import BatchSource, device_prefetch
+
+CLASSES = ["MI", "STTC", "HYP", "CD", "NORM"]
+
+
+def test_adc_cache_matches_direct_reads(ptbxl_dir):
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    cache = ADCCache(ptbxl_dir, ds.df["filename_hr"].tolist()).ensure_built()
+    for i in (0, 5, len(ds) - 1):
+        direct = ds.get_raw(i)  # [12, T]
+        cached = cache.get_physical([i])[0]
+        np.testing.assert_allclose(cached, direct, atol=1e-6)
+
+
+def test_batch_shapes_and_padding(ptbxl_dir):
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    bs = 8
+    src = BatchSource(ds, batch_size=bs, shuffle=False)
+    batches = list(src.epoch(0))
+    assert len(batches) == src.steps_per_epoch
+    n = len(ds)
+    for b in batches:
+        assert b["ecg"].shape == (bs, 512, 12)
+        assert b["y"].shape == (bs, 5)
+        assert b["mask"].shape == (bs,)
+    total_real = sum(int(b["mask"].sum()) for b in batches)
+    assert total_real == n
+    # last batch's padding masked out
+    last = batches[-1]
+    n_last = n - (len(batches) - 1) * bs
+    np.testing.assert_array_equal(last["mask"][:n_last], 1.0)
+    np.testing.assert_array_equal(last["mask"][n_last:], 0.0)
+
+
+def test_shuffle_determinism(ptbxl_dir):
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    a = [b["y"] for b in BatchSource(ds, 8, True, seed=7).epoch(3)]
+    b = [b["y"] for b in BatchSource(ds, 8, True, seed=7).epoch(3)]
+    c = [b["y"] for b in BatchSource(ds, 8, True, seed=7).epoch(4)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_multimodal_batches_carry_demo(ptbxl_dir):
+    ds = PTBXLECGMultimodalDataset(ptbxl_dir, "train", CLASSES)
+    src = BatchSource(ds, 8, False)
+    b = next(iter(src.epoch(0)))
+    assert b["demo"].shape == (8, 5)
+
+
+def test_device_prefetch_and_zscore(ptbxl_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    src = BatchSource(ds, 8, False)
+    dev_batches = list(device_prefetch(src.epoch(0)))
+    assert len(dev_batches) == src.steps_per_epoch
+
+    b = dev_batches[0]
+    normed = jax.jit(zscore_per_lead_batch)(b["ecg"])
+    # matches the reference's host z-score on each sample
+    host = np.stack([zscore_per_lead(ds.get_raw(i)).T for i in range(8)])
+    np.testing.assert_allclose(np.asarray(normed), host, atol=2e-4)
+
+
+def test_zscore_matches_host_math():
+    import jax
+
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 100, 12)).astype(np.float32) * 3 + 1
+    got = np.asarray(jax.jit(zscore_per_lead_batch)(x))
+    want = np.stack([zscore_per_lead(s.T).T for s in x])
+    np.testing.assert_allclose(got, want, atol=1e-5)
