@@ -1,0 +1,178 @@
+"""Jitted train/eval steps and host epoch loops.
+
+Capability parity with reference src/training/loop.py (single-input) and
+loop_demo.py (two-input), rebuilt TPU-first:
+
+* ONE jitted ``train_step`` per task: fused on-device z-score preprocessing,
+  forward with mutable batch_stats, masked BCE-with-logits, AdamW update.
+  Under a data-sharded batch + GSPMD, gradient reduction and global-batch BN
+  statistics compile to psum/all-reduce over ICI automatically.
+* the final padded batch is masked out of loss and metrics (the reference ran
+  ragged batches; see data/pipeline.py)
+* two epoch-loss aggregation modes, preserving a reference quirk:
+  'per_sample' — dataset-weighted mean (loop.py:36-38) for baseline/AF;
+  'per_batch'  — unweighted mean of batch losses (loop_demo.py:40-43) for the
+  multimodal task
+* eval gathers sigmoid probs to host and computes sklearn metrics, exactly
+  like the reference (loop.py:41-73)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+from ptbxl_tpu.training.metrics import compute_metrics
+from ptbxl_tpu.training.train_state import TrainState
+
+
+def _model_inputs(batch: Dict, x: jnp.ndarray, multimodal: bool):
+    return (x, batch["demo"]) if multimodal else (x,)
+
+
+def _per_sample_bce(logits: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Mean-over-labels BCE per sample [B] (== torch BCEWithLogitsLoss row mean)."""
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, y), axis=-1)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    multimodal: bool = False,
+    normalize: str = "per_lead",
+    donate: bool = True,
+) -> Callable[[TrainState, Dict], Tuple[TrainState, jnp.ndarray]]:
+    """Build the jitted training step.
+
+    ``donate=True`` donates the state buffers (in-place update on device);
+    callers that keep aliases to the initial variables (tests) pass False.
+    """
+
+    def step(state: TrainState, batch: Dict) -> Tuple[TrainState, jnp.ndarray]:
+        x = batch["ecg"]
+        if normalize == "per_lead":
+            x = zscore_per_lead_batch(x)
+        mask = batch["mask"]
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, mutated = model.apply(
+                variables, *_model_inputs(batch, x, multimodal), True,
+                mutable=["batch_stats"],
+            )
+            per_sample = _per_sample_bce(logits, batch["y"])
+            loss = jnp.sum(per_sample * mask) / jnp.sum(mask)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model, multimodal: bool = False, normalize: str = "per_lead"
+) -> Callable[[TrainState, Dict], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Jitted eval step -> (probs [B, L], per-sample loss [B])."""
+
+    def step(state: TrainState, batch: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = batch["ecg"]
+        if normalize == "per_lead":
+            x = zscore_per_lead_batch(x)
+        logits = model.apply(
+            state.variables(), *_model_inputs(batch, x, multimodal), False
+        )
+        return jax.nn.sigmoid(logits), _per_sample_bce(logits, batch["y"])
+
+    return jax.jit(step)
+
+
+def train_one_epoch(
+    state: TrainState,
+    train_step: Callable,
+    batches: Iterator[Dict],
+    loss_mode: str = "per_sample",
+) -> Tuple[TrainState, float]:
+    """Run one epoch; returns (state, epoch train loss in the reference's
+    aggregation mode)."""
+    total = 0.0
+    weight = 0.0
+    for batch in batches:
+        n_real = float(np.asarray(batch["mask"]).sum())
+        state, loss = train_step(state, batch)
+        if loss_mode == "per_sample":
+            total += float(loss) * n_real
+            weight += n_real
+        else:  # per_batch (loop_demo.py:40-43)
+            total += float(loss)
+            weight += 1.0
+    return state, total / max(1.0, weight)
+
+
+def eval_one_epoch(
+    state: TrainState,
+    eval_step: Callable,
+    batches: Iterator[Dict],
+    threshold: float = 0.5,
+    loss_mode: str = "per_sample",
+) -> Dict[str, float]:
+    """Eval epoch -> metrics dict {auroc_macro, auprc_macro, f1_macro, bce_loss}."""
+    probs_list, y_list = [], []
+    total = 0.0
+    weight = 0.0
+    for batch in batches:
+        probs, per_sample = eval_step(state, batch)
+        mask = np.asarray(batch["mask"]).astype(bool)
+        probs = np.asarray(probs)[mask]
+        y = np.asarray(batch["y"])[mask]
+        losses = np.asarray(per_sample)[mask]
+        probs_list.append(probs)
+        y_list.append(y)
+        if loss_mode == "per_sample":
+            total += float(losses.sum())
+            weight += float(mask.sum())
+        else:
+            total += float(losses.mean()) if mask.any() else 0.0
+            weight += 1.0
+
+    y_true = np.concatenate(y_list, axis=0)
+    y_prob = np.concatenate(probs_list, axis=0)
+    metrics = compute_metrics(y_true, y_prob, threshold=threshold)
+    metrics["bce_loss"] = total / max(1.0, weight)
+    return metrics
+
+
+def predict_all(
+    state: TrainState,
+    eval_step: Callable,
+    batches: Iterator[Dict],
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Full-split inference -> (y_true, y_prob, dataset-mean bce loss).
+
+    Used by the test scripts 06/07/08 to dump per-sample prediction CSVs.
+    """
+    probs_list, y_list, losses = [], [], []
+    for batch in batches:
+        probs, per_sample = eval_step(state, batch)
+        mask = np.asarray(batch["mask"]).astype(bool)
+        probs_list.append(np.asarray(probs)[mask])
+        y_list.append(np.asarray(batch["y"])[mask])
+        losses.append(np.asarray(per_sample)[mask])
+    y_true = np.concatenate(y_list, axis=0)
+    y_prob = np.concatenate(probs_list, axis=0)
+    all_losses = np.concatenate(losses, axis=0)
+    return y_true, y_prob, float(all_losses.mean())

@@ -1,0 +1,186 @@
+"""High-level training engine shared by the three train CLIs (03/04/05).
+
+Orchestrates: data-parallel mesh setup, jitted step construction, epoch loops,
+per-epoch CSV logging (reference schema), best-checkpoint selection by val
+macro-AUPRC (reference: scripts/03:164-168), optional early stopping
+(multimodal only, scripts/04:212-216), optional encoder warm start
+(scripts/04:149-156), and crash-safe resume (an improvement over the
+reference, which loses a run on crash — SURVEY.md §5): the full TrainState
+(params + BN stats + optimizer state + epoch/best counters) is checkpointed
+with Orbax every epoch.
+
+Best checkpoints are written in the native .npz format and, when torch is
+importable, additionally exported as a reference-compatible .pth.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ptbxl_tpu.data.pipeline import BatchSource, device_prefetch
+from ptbxl_tpu.models.params_io import export_pth, save_npz
+from ptbxl_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ptbxl_tpu.training.loop import (
+    eval_one_epoch,
+    make_eval_step,
+    make_train_step,
+    train_one_epoch,
+)
+from ptbxl_tpu.training.train_state import TrainState, create_train_state, make_optimizer
+from ptbxl_tpu.utils.csv_log import log_epoch_to_csv
+
+
+def mesh_for_batch(batch_size: int):
+    """1-D data mesh using the largest device count that divides batch_size."""
+    n_dev = len(jax.devices())
+    n_data = 1
+    for d in range(min(n_dev, batch_size), 0, -1):
+        if batch_size % d == 0:
+            n_data = d
+            break
+    return make_mesh(n_data=n_data, n_model=1)
+
+
+@dataclass
+class TrainRun:
+    """Everything task-specific the engine needs."""
+
+    model: object
+    variables: Dict
+    train_ds: object
+    val_ds: object
+    batch_size: int
+    epochs: int
+    lr: float
+    weight_decay: float
+    seed: int
+    run_name: str
+    metrics_csv: str
+    ckpt_path: str  # native .npz best checkpoint
+    config_path: str
+    classes: Optional[List[str]] = None  # saved into ckpt when not None
+    multimodal: bool = False
+    loss_mode: str = "per_sample"  # 'per_batch' for the multimodal task
+    normalize: str = "per_lead"
+    early_stop_patience: Optional[int] = None
+    arch: str = "ecgcnn"  # for the .pth export
+    train_print: str = "Train BCE"
+    val_print: str = "Val metrics"
+    best_print: Callable[[float, str], str] = field(
+        default=lambda best, path: f"★ New best AUPRC: {best:.4f}"
+    )
+    resume: bool = False
+    pth_export: bool = True
+    progress: Optional[Callable[[int, float, Dict[str, float]], None]] = None
+
+
+def _export_best(run: TrainRun, state: TrainState):
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    save_npz(run.ckpt_path, variables, classes=run.classes)
+    if run.pth_export:
+        try:
+            pth_path = os.path.splitext(run.ckpt_path)[0] + ".pth"
+            export_pth(pth_path, variables, arch=run.arch, classes=run.classes)
+        except ImportError:
+            pass
+
+
+def _resume_dir(run: TrainRun) -> str:
+    return os.path.join(os.path.dirname(run.ckpt_path), f"{run.run_name}_resume")
+
+
+def train(run: TrainRun) -> TrainState:
+    """Run the full training loop; returns the final TrainState."""
+    import orbax.checkpoint as ocp
+
+    mesh = mesh_for_batch(run.batch_size)
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated_sharding(mesh)
+
+    tx = make_optimizer(run.lr, run.weight_decay)
+    state = create_train_state(run.model, run.variables, tx)
+    state = jax.device_put(state, r_shard)
+
+    train_step = make_train_step(run.model, tx, run.multimodal, run.normalize)
+    eval_step = make_eval_step(run.model, run.multimodal, run.normalize)
+
+    train_src = BatchSource(run.train_ds, run.batch_size, shuffle=True, seed=run.seed)
+    val_src = BatchSource(run.val_ds, run.batch_size, shuffle=False, seed=run.seed)
+
+    start_epoch = 0
+    best_auprc = -1.0
+    epochs_no_improve = 0
+
+    ckpointer = ocp.StandardCheckpointer()
+    resume_dir = os.path.abspath(_resume_dir(run))
+    latest = os.path.join(resume_dir, "latest")
+    if run.resume and os.path.exists(latest):
+        template = {
+            "state": jax.device_get(state),
+            "epoch": 0,
+            "best_auprc": 0.0,
+            "epochs_no_improve": 0,
+        }
+        restored = ckpointer.restore(latest, template)
+        state = jax.device_put(restored["state"], r_shard)
+        start_epoch = int(restored["epoch"])
+        best_auprc = float(restored["best_auprc"])
+        epochs_no_improve = int(restored["epochs_no_improve"])
+        print(f"[INFO] Resumed from {latest} at epoch {start_epoch} (best AUPRC {best_auprc:.4f})")
+
+    for epoch in range(start_epoch, run.epochs):
+        print(f"\nEpoch {epoch + 1}/{run.epochs}")
+
+        batches = device_prefetch(train_src.epoch(epoch), sharding=b_shard)
+        state, train_loss = train_one_epoch(state, train_step, batches, run.loss_mode)
+        print(f"{run.train_print}: {train_loss:.4f}")
+
+        val_batches = device_prefetch(val_src.epoch(0), sharding=b_shard)
+        val_metrics = eval_one_epoch(state, eval_step, val_batches, 0.5, run.loss_mode)
+        print(f"{run.val_print}:", val_metrics)
+
+        log_epoch_to_csv(
+            run.metrics_csv, run.run_name, epoch + 1, train_loss, val_metrics,
+            run.ckpt_path, run.config_path,
+        )
+        if run.progress is not None:
+            run.progress(epoch + 1, train_loss, val_metrics)
+
+        auprc = float(val_metrics.get("auprc_macro", -1))
+        if auprc > best_auprc:
+            best_auprc = auprc
+            epochs_no_improve = 0
+            _export_best(run, state)
+            print(run.best_print(best_auprc, run.ckpt_path))
+        else:
+            epochs_no_improve += 1
+            if run.early_stop_patience is not None and epochs_no_improve >= run.early_stop_patience:
+                print("[INFO] Early stopping.")
+                break
+
+        # crash-safe resume point (every epoch, overwrite)
+        payload = {
+            "state": jax.device_get(state),
+            "epoch": epoch + 1,
+            "best_auprc": best_auprc,
+            "epochs_no_improve": epochs_no_improve,
+        }
+        tmp = os.path.join(resume_dir, "tmp_save")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ckpointer.save(tmp, payload)
+        ckpointer.wait_until_finished()
+        if os.path.exists(latest):
+            shutil.rmtree(latest)
+        os.replace(tmp, latest)
+
+    return state

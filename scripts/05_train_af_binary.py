@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+# scripts/05_train_af_binary.py
+#
+# Train the binary AF classifier on PTB-XL (TPU data-parallel).
+# CLI/config/CSV semantics match the reference scripts/05_train_af_binary.py
+# (note: the AF checkpoint intentionally carries no "classes" entry).
+
+import argparse
+import os
+import sys
+
+sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from ptbxl_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+import jax  # noqa: E402
+
+from ptbxl_tpu import config as C  # noqa: E402
+from ptbxl_tpu.data import PTBXLAFDataset  # noqa: E402
+from ptbxl_tpu.models.factory import build_ecgcnn  # noqa: E402
+from ptbxl_tpu.training.trainer import TrainRun, train  # noqa: E402
+from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
+
+print("[INFO] Device:", jax.devices()[0].platform)
+
+
+def main(args):
+    cfg = C.load_config(args.config)
+    set_seed(C.get_seed(cfg))
+
+    data_cfg = cfg["data"]
+    train_cfg = cfg["train"]
+    model_cfg = C.model_cfg_ecg(cfg)
+    log_cfg = C.log_cfg(cfg)
+
+    base_dir = C.get_base_dir(cfg)
+
+    out_dir = log_cfg["out_dir"]
+    log_dir = os.path.join(out_dir, "logs")
+    ckpt_dir = os.path.join(out_dir, "ckpts")
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    metrics_csv = os.path.join(log_dir, "metrics_af_binary.csv")
+    ckpt_path = os.path.join(ckpt_dir, "af_binary_best.npz")
+    run_name = log_cfg.get("run_name", "af_binary")
+
+    print(f"[INFO] Metrics CSV: {metrics_csv}")
+    print(f"[INFO] Best checkpoint: {ckpt_path}")
+
+    normalize = data_cfg.get("normalize", "per_lead")
+    train_ds = PTBXLAFDataset(base_dir, split="train", normalize=normalize)
+    val_ds = PTBXLAFDataset(base_dir, split="val", normalize=normalize)
+
+    print("[AF] Train size:", len(train_ds))
+    print("[AF] Val size:", len(val_ds))
+
+    model, variables = build_ecgcnn(
+        in_leads=model_cfg.get("in_leads", 12),
+        feat_dim=model_cfg.get("feat_dim", 256),
+        num_labels=1,  # AF vs non-AF
+        seed=C.get_seed(cfg),
+    )
+
+    run = TrainRun(
+        model=model,
+        variables=variables,
+        train_ds=train_ds,
+        val_ds=val_ds,
+        batch_size=int(train_cfg["batch_size"]),
+        epochs=int(train_cfg["epochs"]),
+        lr=C.get_float(train_cfg, "lr", 1e-3),
+        weight_decay=C.get_float(train_cfg, "weight_decay", 0.0),
+        seed=C.get_seed(cfg),
+        run_name=run_name,
+        metrics_csv=metrics_csv,
+        ckpt_path=ckpt_path,
+        config_path=args.config,
+        classes=None,  # reference AF checkpoint has no classes (scripts/05:158)
+        multimodal=False,
+        loss_mode="per_sample",
+        normalize=normalize,
+        early_stop_patience=None,  # reference 05 ignores early stopping
+        arch="ecgcnn",
+        train_print="Train-AF BCE",
+        val_print="Val-AF metrics",
+        best_print=lambda best, path: f"⭐ New best AF AUPRC: {best:.4f}, saved to {path}",
+        resume=args.resume,
+    )
+    train(run)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="configs/af_binary.yaml",
+                        help="Path to YAML config file.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the per-epoch Orbax checkpoint (extension).")
+    args = parser.parse_args()
+    main(args)

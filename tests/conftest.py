@@ -7,7 +7,7 @@ exercised hermetically (SURVEY.md §4): set XLA flags BEFORE jax initializes.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env presets JAX_PLATFORMS=axon (TPU)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -22,6 +22,9 @@ import pytest  # noqa: E402
 try:
     import jax
 
+    # The driver environment pins JAX_PLATFORMS=axon (TPU) at a level the env
+    # var alone doesn't override; force the CPU backend via config.
+    jax.config.update("jax_platforms", "cpu")
     _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

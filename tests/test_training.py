@@ -1,0 +1,161 @@
+"""Training loop: gradient sanity, masking, loss modes, multi-device DP."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from ptbxl_tpu.models.factory import build_ecgcnn, build_multimodal  # noqa: E402
+from ptbxl_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding  # noqa: E402
+from ptbxl_tpu.training.loop import (  # noqa: E402
+    eval_one_epoch,
+    make_eval_step,
+    make_train_step,
+    train_one_epoch,
+)
+from ptbxl_tpu.training.train_state import create_train_state, make_optimizer  # noqa: E402
+
+T = 256  # short signals keep CPU tests fast
+
+
+def _batch(rng, bs=8, n_labels=5, demo=False, mask_last=0):
+    b = {
+        "ecg": rng.standard_normal((bs, T, 12)).astype(np.float32),
+        "y": (rng.uniform(size=(bs, n_labels)) > 0.7).astype(np.float32),
+        "mask": np.concatenate([np.ones(bs - mask_last), np.zeros(mask_last)]).astype(np.float32),
+    }
+    if demo:
+        b["demo"] = rng.uniform(size=(bs, 5)).astype(np.float32)
+    return b
+
+
+def test_train_step_reduces_loss(rng):
+    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    tx = make_optimizer(1e-3, 1e-4)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    batch = _batch(rng)
+    losses = []
+    for _ in range(12):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8
+    assert int(state.step) == 12
+
+
+def test_batch_stats_update_in_train_only(rng):
+    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    tx = make_optimizer(1e-3, 0.0)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    before = jax.device_get(state.batch_stats)["blocks_0"]["bn"]["mean"].copy()
+    state, _ = step(state, _batch(rng))
+    after = jax.device_get(state.batch_stats)["blocks_0"]["bn"]["mean"]
+    assert not np.allclose(before, after)
+
+    eval_step = make_eval_step(model)
+    s_before = jax.device_get(state.batch_stats)
+    eval_step(state, _batch(rng))
+    s_after = jax.device_get(state.batch_stats)
+    np.testing.assert_array_equal(
+        s_before["blocks_0"]["bn"]["mean"], s_after["blocks_0"]["bn"]["mean"]
+    )
+
+
+def test_padding_mask_excluded_from_loss(rng):
+    """Padded rows must not change the loss value."""
+    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    tx = make_optimizer(0.0, 0.0)  # lr=0: loss purely a function of inputs
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, donate=False)
+
+    full = _batch(rng, bs=8, mask_last=0)
+    padded = {k: v.copy() for k, v in full.items()}
+    # corrupt the last two rows and mask them out
+    padded["ecg"][-2:] = 1e3
+    padded["y"][-2:] = 1.0
+    padded["mask"][-2:] = 0.0
+
+    ref = {k: v[:6] if k != "mask" else np.ones(6, np.float32) for k, v in full.items()}
+    # note: BN uses batch stats including padded rows, so compare against a
+    # padded-but-masked batch with identical contents instead
+    _, loss_padded = step(state, padded)
+
+    state2 = create_train_state(model, variables, tx)
+    padded2 = {k: v.copy() for k, v in padded.items()}
+    padded2["y"][-2:] = 0.0  # different junk labels under the mask
+    _, loss_padded2 = step(state2, padded2)
+    np.testing.assert_allclose(float(loss_padded), float(loss_padded2), rtol=1e-6)
+
+
+def test_multimodal_step(rng):
+    model, variables = build_multimodal(num_labels=5, seed=0)
+    tx = make_optimizer(1e-3, 1e-4)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, multimodal=True, donate=False)
+    state, loss = step(state, _batch(rng, demo=True))
+    assert np.isfinite(float(loss))
+
+
+def test_loss_mode_aggregation(rng):
+    """per_sample (loop.py) vs per_batch (loop_demo.py) epoch aggregation."""
+    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    tx = make_optimizer(0.0, 0.0)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, donate=False)
+
+    b_full = _batch(rng, bs=8)
+    b_part = _batch(rng, bs=8, mask_last=4)  # 4 real samples
+
+    _, l1 = step(create_train_state(model, variables, tx), b_full)
+    _, l2 = step(create_train_state(model, variables, tx), b_part)
+    l1, l2 = float(l1), float(l2)
+
+    _, per_sample = train_one_epoch(
+        create_train_state(model, variables, tx), step, iter([b_full, b_part]), "per_sample"
+    )
+    _, per_batch = train_one_epoch(
+        create_train_state(model, variables, tx), step, iter([b_full, b_part]), "per_batch"
+    )
+    np.testing.assert_allclose(per_sample, (l1 * 8 + l2 * 4) / 12, rtol=1e-5)
+    np.testing.assert_allclose(per_batch, (l1 + l2) / 2, rtol=1e-5)
+
+
+def test_eval_epoch_metrics_shape(rng):
+    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    tx = make_optimizer(1e-3, 0.0)
+    state = create_train_state(model, variables, tx)
+    eval_step = make_eval_step(model)
+    m = eval_one_epoch(state, eval_step, iter([_batch(rng), _batch(rng, mask_last=3)]))
+    for k in ("auroc_macro", "auprc_macro", "f1_macro", "bce_loss"):
+        assert k in m
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_matches_single_device(rng):
+    """The DP-sharded step must produce the same loss/params as single-device."""
+    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    tx = make_optimizer(1e-3, 1e-4)
+    batch = _batch(rng, bs=16)
+
+    # single device
+    s1 = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    s1, l1 = step(s1, batch)
+
+    # 8-way data parallel
+    mesh = make_mesh(n_data=8, n_model=1)
+    s8 = create_train_state(model, variables, tx)
+    s8 = jax.device_put(s8, replicated_sharding(mesh))
+    sharded_batch = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch.items()}
+    s8, l8 = step(s8, sharded_batch)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    p1 = jax.device_get(s1.params)["head"]["kernel"]
+    p8 = jax.device_get(s8.params)["head"]["kernel"]
+    np.testing.assert_allclose(p1, p8, atol=1e-5)
+    # BN stats must also agree: global-batch statistics under GSPMD
+    b1 = jax.device_get(s1.batch_stats)["blocks_0"]["bn"]["mean"]
+    b8 = jax.device_get(s8.batch_stats)["blocks_0"]["bn"]["mean"]
+    np.testing.assert_allclose(b1, b8, atol=1e-5)
