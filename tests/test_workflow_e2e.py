@@ -1,0 +1,202 @@
+"""End-to-end workflow: test scripts 06/07/08 -> merge 09 -> analyse 10 ->
+figures 14-17, plus demo-pack builders and batch Grad-CAM, all on the
+hermetic fixture with the converted reference checkpoints."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLASSES = ["MI", "STTC", "HYP", "CD", "NORM"]
+
+
+def _run(script, args, cwd, timeout=600):
+    env = dict(os.environ, PTBXL_TPU_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(HERE, "scripts", script), *args],
+        capture_output=True, text=True, cwd=str(cwd), env=env, timeout=timeout,
+    )
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout[-2000:]}\n{r.stderr[-3000:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def cfg_path(ptbxl_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("wf")
+    p = d / "cfg.yaml"
+    p.write_text(
+        f"""seed: 42
+data:
+  base_dir: {ptbxl_dir}
+  normalize: per_lead
+  leads: 12
+  labels: ["MI", "STTC", "HYP", "CD", "NORM"]
+train:
+  batch_size: 4
+model:
+  ecg:
+    in_leads: 12
+    feat_dim: 256
+  ecg_multimodal:
+    in_leads: 12
+    ecg_feat_dim: 256
+    demo_hidden_dim: 64
+log:
+  out_dir: outputs
+"""
+    )
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("wfrun")
+
+
+CKPT_BL = os.path.join(HERE, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+CKPT_MM = os.path.join(HERE, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz")
+CKPT_AF = os.path.join(HERE, "outputs/af_binary/ckpts/af_binary_best.npz")
+
+
+@pytest.mark.slow
+def test_full_eval_merge_analyse_plot_workflow(cfg_path, workdir):
+    base_csv = str(workdir / "preds_base.csv")
+    mm_csv = str(workdir / "preds_mm.csv")
+    af_csv = str(workdir / "preds_af.csv")
+
+    # 06/07/08 — per-task test scripts
+    r6 = _run("06_ecg_baseline_test.py",
+              ["--config", cfg_path, "--ckpt", CKPT_BL, "--out_csv", base_csv], workdir)
+    assert "[Baseline][TEST] metrics:" in r6.stdout
+    r7 = _run("07_ecg_multimodal_test.py",
+              ["--config", cfg_path, "--ckpt", CKPT_MM, "--out_csv", mm_csv], workdir)
+    assert "[ECG-MM][TEST] metrics:" in r7.stdout
+    r8 = _run("08_af_binary_test.py",
+              ["--config", cfg_path, "--ckpt", CKPT_AF, "--out_csv", af_csv], workdir)
+    assert "[AF][TEST] metrics:" in r8.stdout
+
+    # column schemas match the reference byte layout
+    dfb = pd.read_csv(base_csv)
+    expect_base = [c for cls in CLASSES for c in (f"y_true_{cls}", f"y_prob_{cls}", f"y_pred_{cls}")]
+    assert list(dfb.columns) == expect_base
+    dfm = pd.read_csv(mm_csv)
+    expect_mm = [c for cls in CLASSES for c in (f"y_true_{cls}", f"y_prob_{cls}_mm", f"y_pred_{cls}_mm")]
+    assert list(dfm.columns) == expect_mm
+    dfa = pd.read_csv(af_csv)
+    assert list(dfa.columns) == ["y_true_AF", "y_prob_AF", "y_pred_AF"]
+    # fixture test split: 4 records, one multimodal row dropped? (missing-age
+    # row is in train fold) -> all three have equal rows here
+    assert len(dfb) == len(dfm) == len(dfa) == 4
+
+    # 09 — merge
+    merged_csv = str(workdir / "outputs/merged/test_03_04_05_merged.csv")
+    _run("09_merge_all_test.py",
+         ["--baseline_csv", base_csv, "--multimodal_csv", mm_csv,
+          "--af_csv", af_csv, "--out_csv", merged_csv], workdir)
+    dfM = pd.read_csv(merged_csv)
+    assert dfM.shape == (4, 28)  # 15 + 10 (y_true stripped) + 3
+
+    # 10 — analyse (alphabetical label order quirk)
+    r10 = _run("10_analyse_merged_test.py", ["--merged_csv", merged_csv], workdir)
+    assert "[Baseline ECG][TEST] metrics:" in r10.stdout
+    assert "['CD', 'HYP', 'MI', 'NORM', 'STTC']" in r10.stdout
+
+    # 14-17 — figures (hardcoded merged path under cwd)
+    for script, outputs in [
+        ("14_plot_results.py",
+         ["figure14_macro_scores.png", "figure15_per_class_auroc.png",
+          "figure16_mi_roc.png", "figure17_af_curves.png", "metrics_summary.csv"]),
+        ("15_plot_distributions.py",
+         ["mi_distribution.png", "overall_prediction_distribution.png",
+          "af_prediction_distribution.png"]),
+        ("16_plot_baseline_only.py",
+         ["baseline_per_class_roc.png", "baseline_per_class_pr.png",
+          "baseline_mi_distribution.png"]),
+        ("17_plot_mm_only.py",
+         ["mm_m1_per_class_roc.png", "mm_m2_per_class_pr.png", "mm_m3_mi_distribution.png"]),
+    ]:
+        _run(script, [], workdir)
+        for f in outputs:
+            assert (workdir / "outputs/figures" / f).exists(), f"{script} missing {f}"
+
+    # metrics_summary.csv has the reference's column layout
+    ms = pd.read_csv(workdir / "outputs/figures/metrics_summary.csv")
+    assert list(ms.columns)[:3] == ["model", "auroc_macro", "auprc_macro"]
+    assert list(ms["model"]) == ["ecg", "mm"]
+
+
+@pytest.mark.slow
+def test_demo_pack_and_save_scripts(ptbxl_dir, workdir):
+    out_root = str(workdir / "demo_pack")
+    r = _run("00_make_demo_pack.py",
+             ["--base_dir", ptbxl_dir, "--out_root", out_root, "--extra_all_zero", "1"],
+             workdir)
+    assert "[DONE] Demo pack created." in r.stdout
+    meta = pd.read_csv(os.path.join(out_root, "meta.csv"))
+    assert set(meta["modality"]) == {"single", "multimodal"}
+    sample = np.load(os.path.join(out_root, meta.iloc[0]["file"].replace("single/", "single/")) if False else os.path.join(out_root, meta.iloc[0]["file"]), allow_pickle=True)
+    assert set(sample.files) >= {"ecg", "y", "classes"}
+
+    _run("00_save_demo_ecg.py",
+         ["--base_dir", ptbxl_dir, "--out_dir", str(workdir / "demo_npy"), "--num_samples", "2"],
+         workdir)
+    assert (workdir / "demo_npy/demo_ecg_0.npy").exists()
+
+    _run("00_save_demo_multimodal.py",
+         ["--base_dir", ptbxl_dir, "--out_dir", str(workdir / "demo_npy")], workdir)
+    assert (workdir / "demo_npy/demo_mm_ecg_0.npy").exists()
+    assert (workdir / "demo_npy/demo_mm_demo_0.npy").exists()
+
+
+@pytest.mark.slow
+def test_batch_gradcam_scripts(cfg_path, ptbxl_dir, workdir):
+    r = _run("11_grad_cam_ecg_baseline.py",
+             ["--config", cfg_path, "--ckpt", CKPT_BL, "--index", "1", "--class_name", "NORM"],
+             workdir)
+    out = workdir / "outputs/gradcam"
+    assert (out / "sample_1_NORM_cam.npy").exists()
+    assert (out / "sample_1_NORM_plot.png").exists()
+    info = (out / "sample_1_NORM_info.txt").read_text()
+    assert "Sample index: 1" in info and "Class: NORM" in info
+    cam = np.load(out / "sample_1_NORM_cam.npy")
+    assert cam.shape == (512,) and np.isfinite(cam).all()
+
+    _run("12_grad_cam_ecg_demo.py",
+         ["--config", cfg_path, "--ckpt", CKPT_MM, "--index", "0", "--class_name", "MI"],
+         workdir)
+    assert (workdir / "outputs/gradcam_multimodal/sample_0_MI_cam.npy").exists()
+    assert (workdir / "outputs/gradcam_multimodal/sample_0_MI_ecg_mm.png").exists()
+
+    _run("13_grad_cam_af.py",
+         ["--base_dir", ptbxl_dir, "--ckpt", CKPT_AF, "--index", "0"], workdir)
+    assert (workdir / "outputs/gradcam_af/sample_0_AF_cam.npy").exists()
+    assert (workdir / "outputs/gradcam_af/sample_0_AF_plot.png").exists()
+
+
+@pytest.mark.slow
+def test_prepare_and_printsize(ptbxl_dir, workdir):
+    r = _run("02_prepare_data.py", ["--base_dir", ptbxl_dir], workdir)
+    assert "strat_fold distribution:" in r.stdout
+    assert "Diagnostic classes:" in r.stdout
+
+    r = _run("printsize.py", ["--base_dir", ptbxl_dir], workdir)
+    assert "Baseline train size:" in r.stdout
+    assert "ECG+Demo test size:" in r.stdout
+
+
+@pytest.mark.slow
+def test_demo_inference_script(workdir):
+    demo = os.path.join(HERE, "data/demo/single/single_sample_00.npz")
+    r = _run("00_demo_inference.py", ["--demo_path", demo, "--ckpt", CKPT_BL], workdir)
+    assert "Predicted probabilities:" in r.stdout
+    # reference-matching probability on this sample (MI ~ 0.972)
+    import re
+
+    m = re.search(r"MI: ([0-9.]+)", r.stdout)
+    assert m and abs(float(m.group(1)) - 0.972) < 0.01
+    assert (workdir / "outputs/demo/single_sample_00_gradcam_MI.png").exists()
