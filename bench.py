@@ -89,20 +89,58 @@ def _parity_check(forward, variables, f32_forward, f32_variables, tol=5e-3):
     return worst <= tol, worst
 
 
+def _build_pallas(compute_dtype_name):
+    """Fully-fused single-kernel Pallas path (ops/pallas/fused_ecgcnn.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.pallas.fused_ecgcnn import fold_bn_into_conv, fused_ecgcnn_probs
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    if os.path.exists(ckpt):
+        variables, _ = load_npz(ckpt)
+    else:
+        m0 = ECGCNN(feat_dim=256, num_labels=5)
+        variables = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 12)))
+    folded = fold_bn_into_conv(variables)
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[compute_dtype_name]
+
+    def forward(folded_, x):
+        return fused_ecgcnn_probs(x, folded_, compute_dtype=dtype, normalize=True)
+
+    return forward, folded
+
+
 def bench_inference(full=False):
     import jax
 
     results = []
     f32_forward, f32_vars = _build("highest", "f32")
 
-    configs = [("highest", "f32"), (None, "f32"), (None, "bf16")]
-    batch_sizes = [256, 512, 1024]
+    configs = [
+        ("xla", "highest", "f32"),
+        ("xla", None, "f32"),
+        ("xla", None, "bf16"),
+        ("pallas", None, "f32"),
+    ]
+    batch_sizes = [256, 512, 1024, 2048]
 
     rng = np.random.default_rng(0)
     best = None
-    for precision, dtype_name in configs:
-        forward, variables = _build(precision, dtype_name)
-        ok, worst = _parity_check(forward, variables, f32_forward, f32_vars)
+    for path, precision, dtype_name in configs:
+        try:
+            if path == "pallas":
+                forward, variables = _build_pallas(dtype_name)
+            else:
+                forward, variables = _build(precision, dtype_name)
+            ok, worst = _parity_check(forward, variables, f32_forward, f32_vars)
+        except Exception as e:
+            if full:
+                print(f"# config {path}/{precision}/{dtype_name} failed: {e}", file=sys.stderr)
+            continue
         for bs in batch_sizes:
             batch = jax.device_put(
                 rng.standard_normal((bs, 5000, 12)).astype(np.float32))
@@ -110,11 +148,11 @@ def bench_inference(full=False):
                 rps = _throughput(forward, variables, batch)
             except Exception as e:  # OOM etc.
                 if full:
-                    print(f"# config prec={precision} dtype={dtype_name} bs={bs}: {e}",
+                    print(f"# config {path} prec={precision} dtype={dtype_name} bs={bs}: {e}",
                           file=sys.stderr)
                 continue
-            row = dict(precision=str(precision), dtype=dtype_name, batch=bs,
-                       rps=rps, prob_err=worst, parity_ok=ok)
+            row = dict(path=path, precision=str(precision), dtype=dtype_name,
+                       batch=bs, rps=rps, prob_err=worst, parity_ok=ok)
             results.append(row)
             if ok and (best is None or rps > best["rps"]):
                 best = row
@@ -165,8 +203,9 @@ def main():
     if args.full:
         print("# config table", file=sys.stderr)
         for r in results:
-            print(f"#  prec={r['precision']:>8} dtype={r['dtype']} bs={r['batch']:>5} "
-                  f"-> {r['rps']:>10.1f} rec/s (prob_err={r['prob_err']:.2e}, "
+            print(f"#  {r['path']:>6} prec={r['precision']:>8} dtype={r['dtype']} "
+                  f"bs={r['batch']:>5} -> {r['rps']:>10.1f} rec/s "
+                  f"(prob_err={r['prob_err']:.2e}, "
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
         lat = bench_demo_latency()
         if lat is not None:
