@@ -60,31 +60,66 @@ class ADCCache:
 
         os.makedirs(self.cache_dir, exist_ok=True)
         n = len(self.rel_paths)
-        first_adc, first_hdr = read_adc(os.path.join(self.base_dir, self.rel_paths[0]))
-        T, L = first_adc.shape
+
+        from ptbxl_tpu.io.wfdb_io import read_header
+
+        headers = [read_header(os.path.join(self.base_dir, p)) for p in self.rel_paths]
+        T, L = headers[0].n_samples, headers[0].n_sig
         self.n_samples, self.n_leads = T, L
+        for rel, h in zip(self.rel_paths, headers):
+            if (h.n_samples, h.n_sig) != (T, L):
+                raise ValueError(
+                    f"Record {rel} shape {(h.n_samples, h.n_sig)} != cache shape {(T, L)}; "
+                    "ADCCache requires uniform record length"
+                )
 
         mm = np.lib.format.open_memmap(
             bin_path + ".tmp", mode="w+", dtype=np.int16, shape=(n, L, T)
         )
-        gains = np.empty((n, L), dtype=np.float32)
-        baselines = np.empty((n, L), dtype=np.float32)
+        gains = np.array([[s.gain for s in h.signals] for h in headers], dtype=np.float32)
+        baselines = np.array(
+            [[s.effective_baseline for s in h.signals] for h in headers], dtype=np.float32
+        )
 
-        for i, rel in enumerate(self.rel_paths):
-            if i == 0:
-                adc, hdr = first_adc, first_hdr
-            else:
-                adc, hdr = read_adc(os.path.join(self.base_dir, rel))
-                if adc.shape != (T, L):
-                    raise ValueError(
-                        f"Record {rel} shape {adc.shape} != cache shape {(T, L)}; "
-                        "ADCCache requires uniform record length"
-                    )
-            mm[i] = np.clip(adc.T, -32768, 32767).astype(np.int16)
-            gains[i] = [s.gain for s in hdr.signals]
-            baselines[i] = [s.effective_baseline for s in hdr.signals]
-            if verbose and (i + 1) % 2000 == 0:
-                print(f"[ADCCache] decoded {i + 1}/{n} records")
+        # Fast path: the C++ batch decoder handles the PTB-XL case (format 16,
+        # one .dat per record, no byte offset) without Python in the loop.
+        native_ok = False
+        if all(
+            len({s.file_name for s in h.signals}) == 1
+            and all(s.fmt == 16 and s.byte_offset == 0 for s in h.signals)
+            for h in headers
+        ):
+            try:
+                from ptbxl_tpu.io import native
+
+                if native.available():
+                    dat_paths = [
+                        os.path.join(os.path.dirname(os.path.join(self.base_dir, rel)),
+                                     h.signals[0].file_name)
+                        for rel, h in zip(self.rel_paths, headers)
+                    ]
+                    chunk = 1024
+                    for i0 in range(0, n, chunk):
+                        i1 = min(i0 + chunk, n)
+                        _, ok = native.decode_batch_fmt16(
+                            dat_paths[i0:i1], T, L, out=mm[i0:i1]
+                        )
+                        if not ok.all():
+                            bad = [dat_paths[i0 + j] for j in np.nonzero(~ok)[0]]
+                            raise RuntimeError(f"native decode failed for {bad[:3]}")
+                        if verbose and i1 % 4096 < chunk:
+                            print(f"[ADCCache] decoded {i1}/{n} records (native)")
+                    native_ok = True
+            except Exception as e:  # toolchain missing etc. -> python fallback
+                if verbose:
+                    print(f"[ADCCache] native decoder unavailable ({e}); python fallback")
+
+        if not native_ok:
+            for i, rel in enumerate(self.rel_paths):
+                adc, _ = read_adc(os.path.join(self.base_dir, rel), headers[i])
+                mm[i] = np.clip(adc.T, -32768, 32767).astype(np.int16)
+                if verbose and (i + 1) % 2000 == 0:
+                    print(f"[ADCCache] decoded {i + 1}/{n} records")
 
         mm.flush()
         del mm

@@ -1,0 +1,121 @@
+"""ctypes bindings for the C++ batch WFDB decoder (csrc/wfdb_decode.cpp).
+
+Auto-builds the shared library with make on first use when a C++ toolchain
+is available; callers fall back to the pure-Python reader otherwise
+(ptbxl_tpu/io/wfdb_io.py is the semantic source of truth).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libwfdbdecode.so")
+
+_lib = None
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _CSRC], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _build_failed = True
+        return None
+
+    lib.wfdb_decode_batch_fmt16.restype = ctypes.c_int
+    lib.wfdb_decode_batch_fmt16.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
+    lib.wfdb_adc_to_physical.restype = None
+    lib.wfdb_adc_to_physical.argtypes = [
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_batch_fmt16(
+    dat_paths: List[str],
+    n_samples: int,
+    n_sig: int,
+    out: Optional[np.ndarray] = None,
+    n_threads: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode format-16 .dat files -> (adc [n, n_sig, n_samples] int16, ok [n] bool)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native WFDB decoder unavailable (no toolchain?)")
+
+    n = len(dat_paths)
+    if out is None:
+        out = np.zeros((n, n_sig, n_samples), dtype=np.int16)
+    assert out.shape == (n, n_sig, n_samples) and out.dtype == np.int16 and out.flags.c_contiguous
+
+    status = np.zeros(n, dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in dat_paths])
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+
+    lib.wfdb_decode_batch_fmt16(
+        c_paths, n, n_samples, n_sig,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+    )
+    return out, status == 0
+
+
+def adc_to_physical(
+    adc: np.ndarray, gains: np.ndarray, baselines: np.ndarray
+) -> np.ndarray:
+    """adc [n_sig, T] int16 -> physical float32 with NaN sentinels."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native WFDB decoder unavailable")
+    adc = np.ascontiguousarray(adc, dtype=np.int16)
+    n_sig, t = adc.shape
+    gains = np.ascontiguousarray(gains, dtype=np.float32)
+    baselines = np.ascontiguousarray(baselines, dtype=np.float32)
+    phys = np.empty((n_sig, t), dtype=np.float32)
+    lib.wfdb_adc_to_physical(
+        adc.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n_sig, t,
+        gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        baselines.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        phys.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return phys
