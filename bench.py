@@ -30,6 +30,17 @@ import numpy as np
 NORTH_STAR_RPS = 1000.0
 
 
+def _enable_compile_cache():
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _build(precision, dtype_name):
     import jax
     import jax.numpy as jnp
@@ -193,10 +204,42 @@ def bench_demo_latency(n=20):
     return float(np.percentile(times, 50) * 1000.0)
 
 
+def bench_train_step(batch_size=64, iters=15):
+    """Sustained training throughput (jitted step, data resident on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.models.factory import build_ecgcnn
+    from ptbxl_tpu.training.loop import make_train_step
+    from ptbxl_tpu.training.train_state import create_train_state, make_optimizer
+
+    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    tx = make_optimizer(1.5e-3, 1e-4)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ecg": jax.device_put(rng.standard_normal((batch_size, 5000, 12)).astype(np.float32)),
+        "y": jax.device_put((rng.uniform(size=(batch_size, 5)) > 0.7).astype(np.float32)),
+        "mask": jax.device_put(np.ones(batch_size, np.float32)),
+    }
+    for _ in range(3):
+        state, loss = step(state, batch)
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch)
+    loss.block_until_ready()
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--full", action="store_true", help="detailed report")
     args = parser.parse_args()
+
+    _enable_compile_cache()
 
     best, results = bench_inference(full=args.full)
 
@@ -207,6 +250,7 @@ def main():
                   f"bs={r['batch']:>5} -> {r['rps']:>10.1f} rec/s "
                   f"(prob_err={r['prob_err']:.2e}, "
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
+        print(f"# train step (bs=256): {bench_train_step(256):.1f} rec/s", file=sys.stderr)
         lat = bench_demo_latency()
         if lat is not None:
             print(f"# demo p50 latency (forward + Grad-CAM, 1 record): {lat:.2f} ms",

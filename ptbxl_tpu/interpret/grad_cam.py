@@ -40,15 +40,19 @@ def linear_interpolate_1d(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     Half-pixel sampling: src = (i + 0.5) * L_in/L_out - 0.5, clamped to
     [0, L_in-1]; matches F.interpolate(mode='linear', align_corners=False).
     """
+    import numpy as _np
+
     in_len = x.shape[-1]
     if in_len == out_len:
         return x
+    # positions depend only on static shapes: compute in float64 on the host
+    # so boundary floors match torch exactly, and bake them as constants
     scale = in_len / out_len
-    pos = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
-    pos = jnp.clip(pos, 0.0, in_len - 1.0)
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, in_len - 1)
-    w = (pos - i0).astype(x.dtype)
+    pos = (_np.arange(out_len, dtype=_np.float64) + 0.5) * scale - 0.5
+    pos = _np.clip(pos, 0.0, in_len - 1.0)
+    i0 = _np.floor(pos).astype(_np.int32)
+    i1 = _np.minimum(i0 + 1, in_len - 1)
+    w = jnp.asarray((pos - i0), dtype=x.dtype)
     return x[..., i0] * (1.0 - w) + x[..., i1] * w
 
 
@@ -149,6 +153,26 @@ class GradCAM:
         if self.multimodal:
             return self._fn(x, ci, x_demo)
         return self._fn(x, ci)
+
+
+def batch_grad_cam(
+    cam_fn: "GradCAM", x: jnp.ndarray, class_indices, x_demo=None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """CAMs for a batch of samples across MULTIPLE classes in one pass.
+
+    Returns (probs [B, L], cams [n_classes, B, T]).  The per-class passes
+    reuse the same jitted (probs, cam) function; the forward features are
+    recomputed per class (XLA CSEs the shared work within each call).
+    """
+    cams = []
+    probs = None
+    for ci in class_indices:
+        if cam_fn.multimodal:
+            probs, cam = cam_fn(x, class_idx=int(ci), x_demo=x_demo)
+        else:
+            probs, cam = cam_fn(x, class_idx=int(ci))
+        cams.append(cam)
+    return probs, jnp.stack(cams, axis=0)
 
 
 def demo_importance(model, variables, x_ecg, x_demo, class_idx: int) -> jnp.ndarray:

@@ -101,25 +101,47 @@ def make_eval_step(
     return jax.jit(step)
 
 
+def _maybe_tqdm(batches: Iterator[Dict], desc: Optional[str]):
+    if desc is None:
+        return batches
+    try:
+        from tqdm import tqdm
+
+        return tqdm(batches, desc=desc, leave=False)
+    except ImportError:
+        return batches
+
+
 def train_one_epoch(
     state: TrainState,
     train_step: Callable,
     batches: Iterator[Dict],
     loss_mode: str = "per_sample",
+    desc: Optional[str] = None,
 ) -> Tuple[TrainState, float]:
     """Run one epoch; returns (state, epoch train loss in the reference's
     aggregation mode)."""
+    from ptbxl_tpu.utils.profiling import StepTimer, perf_enabled
+
+    timer = StepTimer() if perf_enabled() else None
     total = 0.0
     weight = 0.0
-    for batch in batches:
+    for batch in _maybe_tqdm(batches, desc):
         n_real = float(np.asarray(batch["mask"]).sum())
+        if timer:
+            timer.start()
         state, loss = train_step(state, batch)
+        loss = float(loss)  # blocks on the step
+        if timer:
+            timer.stop(n_real)
         if loss_mode == "per_sample":
-            total += float(loss) * n_real
+            total += loss * n_real
             weight += n_real
         else:  # per_batch (loop_demo.py:40-43)
-            total += float(loss)
+            total += loss
             weight += 1.0
+    if timer:
+        print(timer.report("train"))
     return state, total / max(1.0, weight)
 
 
@@ -129,12 +151,13 @@ def eval_one_epoch(
     batches: Iterator[Dict],
     threshold: float = 0.5,
     loss_mode: str = "per_sample",
+    desc: Optional[str] = None,
 ) -> Dict[str, float]:
     """Eval epoch -> metrics dict {auroc_macro, auprc_macro, f1_macro, bce_loss}."""
     probs_list, y_list = [], []
     total = 0.0
     weight = 0.0
-    for batch in batches:
+    for batch in _maybe_tqdm(batches, desc):
         probs, per_sample = eval_step(state, batch)
         mask = np.asarray(batch["mask"]).astype(bool)
         probs = np.asarray(probs)[mask]

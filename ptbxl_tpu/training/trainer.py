@@ -78,6 +78,8 @@ class TrainRun:
     resume: bool = False
     pth_export: bool = True
     progress: Optional[Callable[[int, float, Dict[str, float]], None]] = None
+    train_desc: str = "Train"  # tqdm bar labels (reference: loop.py:22,53)
+    eval_desc: str = "Eval"
 
 
 def _export_best(run: TrainRun, state: TrainState):
@@ -101,6 +103,10 @@ def _resume_dir(run: TrainRun) -> str:
 def train(run: TrainRun) -> TrainState:
     """Run the full training loop; returns the final TrainState."""
     import orbax.checkpoint as ocp
+
+    if os.environ.get("PTBXL_TPU_CHECK_NUMERICS", "") not in ("", "0"):
+        # fail fast on the first NaN/inf anywhere in the jitted graph
+        jax.config.update("jax_debug_nans", True)
 
     mesh = mesh_for_batch(run.batch_size)
     b_shard = batch_sharding(mesh)
@@ -141,11 +147,15 @@ def train(run: TrainRun) -> TrainState:
         print(f"\nEpoch {epoch + 1}/{run.epochs}")
 
         batches = device_prefetch(train_src.epoch(epoch), sharding=b_shard)
-        state, train_loss = train_one_epoch(state, train_step, batches, run.loss_mode)
+        state, train_loss = train_one_epoch(
+            state, train_step, batches, run.loss_mode, desc=run.train_desc
+        )
         print(f"{run.train_print}: {train_loss:.4f}")
 
         val_batches = device_prefetch(val_src.epoch(0), sharding=b_shard)
-        val_metrics = eval_one_epoch(state, eval_step, val_batches, 0.5, run.loss_mode)
+        val_metrics = eval_one_epoch(
+            state, eval_step, val_batches, 0.5, run.loss_mode, desc=run.eval_desc
+        )
         print(f"{run.val_print}:", val_metrics)
 
         log_epoch_to_csv(

@@ -108,6 +108,8 @@ def main(args):
         val_print="Val-ECG-MM metrics",
         best_print=lambda best, path: f"[INFO] New best AUPRC {best:.4f}, saved to {path}",
         resume=args.resume,
+        train_desc="Train-ECG+Demo",
+        eval_desc="Val-ECG+Demo",
     )
     train(run)
 

@@ -1,0 +1,48 @@
+"""Predictor serving API."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from ptbxl_tpu.inference import Predictor  # noqa: E402
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(HERE, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    # demo-pack signals are pre-normalized; z-score of a z-scored signal is
+    # ~identity so normalize=True stays correct for raw AND normalized input
+    return Predictor.from_checkpoint(CKPT, engine="xla")
+
+
+def test_matches_golden_probs(predictor):
+    g = np.load(os.path.join(HERE, "tests/golden/golden_baseline.npz"))
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/single/*.npz")))
+    sigs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])  # [7, 12, 5000]
+    probs = predictor(sigs)
+    np.testing.assert_allclose(probs, g["probs"], atol=5e-4)
+
+
+def test_layout_autodetect(predictor):
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/single/*.npz")))
+    sig = np.load(files[0], allow_pickle=True)["ecg"]  # [12, 5000]
+    p1 = predictor(sig[None])  # [1, 12, T]
+    p2 = predictor(sig.T[None])  # [1, T, 12]
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
+def test_chunking(predictor):
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/single/*.npz")))
+    sigs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+    small = Predictor.from_checkpoint(CKPT, engine="xla", chunk_size=3)
+    np.testing.assert_allclose(small(sigs), predictor(sigs), atol=1e-6)
+
+
+def test_classes_loaded(predictor):
+    assert predictor.classes == ["MI", "STTC", "HYP", "CD", "NORM"]
