@@ -227,11 +227,13 @@ def bench_train_step(batch_size=64, iters=15):
     for _ in range(3):
         state, loss = step(state, batch)
     loss.block_until_ready()
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         state, loss = step(state, batch)
-    loss.block_until_ready()
-    return batch_size * iters / (time.perf_counter() - t0)
+        loss.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return batch_size / float(np.median(times))
 
 
 def main():
