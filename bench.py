@@ -232,18 +232,39 @@ def bench_demo_latency(n=20):
 
 
 def bench_train_step(batch_size=64, iters=15):
-    """Sustained training throughput (jitted step, data resident on device)."""
+    """Sustained training throughput: iters full steps chained in ONE jit
+    (lax.scan over the train step), so the tunnel's per-dispatch latency is
+    amortized like the inference measurement."""
     import jax
     import jax.numpy as jnp
 
     from ptbxl_tpu.models.factory import build_ecgcnn
-    from ptbxl_tpu.training.loop import make_train_step
     from ptbxl_tpu.training.train_state import create_train_state, make_optimizer
 
     model, variables = build_ecgcnn(num_labels=5, seed=0)
     tx = make_optimizer(1.5e-3, 1e-4)
     state = create_train_state(model, variables, tx)
-    step = make_train_step(model, tx)
+    # un-jitted inner step: the scan below is jitted as a whole
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+    import optax
+
+    def raw_step(state, batch):
+        x = zscore_per_lead_batch(batch["ecg"])
+
+        def loss_fn(params):
+            vs = {"params": params, "batch_stats": state.batch_stats}
+            logits, mutated = model.apply(vs, x, True, mutable=["batch_stats"])
+            per = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, batch["y"]), -1)
+            return jnp.sum(per * batch["mask"]) / jnp.sum(batch["mask"]), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        ), loss
 
     rng = np.random.default_rng(0)
     batch = {
@@ -251,16 +272,24 @@ def bench_train_step(batch_size=64, iters=15):
         "y": jax.device_put((rng.uniform(size=(batch_size, 5)) > 0.7).astype(np.float32)),
         "mask": jax.device_put(np.ones(batch_size, np.float32)),
     }
-    for _ in range(3):
-        state, loss = step(state, batch)
-    loss.block_until_ready()
+
+    @jax.jit
+    def run_n(state, batch):
+        def body(s, _):
+            s, loss = raw_step(s, batch)
+            return s, loss
+        state, losses = jax.lax.scan(body, state, None, length=iters)
+        return state, losses
+
+    s2, losses = run_n(state, batch)
+    np.asarray(losses)  # compile + warm
     times = []
-    for _ in range(iters):
+    for _ in range(3):
         t0 = time.perf_counter()
-        state, loss = step(state, batch)
-        loss.block_until_ready()
+        _, losses = run_n(state, batch)
+        np.asarray(losses)
         times.append(time.perf_counter() - t0)
-    return batch_size / float(np.median(times))
+    return batch_size * iters / float(np.median(times))
 
 
 def main():
