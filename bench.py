@@ -160,15 +160,15 @@ def bench_inference(full=False):
     f32_forward, f32_vars = _build("highest", "f32")
 
     configs = [
-        ("xla", "highest", "f32"),
-        ("xla", None, "bf16"),
-        ("pallas", None, "f32"),
+        # (path, precision, dtype, batch sizes)
+        ("xla", "highest", "f32", [512, 2048]),
+        ("xla", None, "bf16", [512, 2048, 8192]),
+        ("pallas", None, "f32", [512, 2048]),
     ]
-    batch_sizes = [512, 2048]
 
     rng = np.random.default_rng(0)
     best = None
-    for path, precision, dtype_name in configs:
+    for path, precision, dtype_name, batch_sizes in configs:
         try:
             if path == "pallas":
                 forward, variables = _build_pallas(dtype_name)

@@ -32,7 +32,11 @@ class BatchSource:
         shuffle: bool,
         seed: int = 42,
         use_adc_cache: bool = True,
+        emit_adc: bool = False,
     ):
+        """``emit_adc=True`` ships raw int16 ADC + per-lead gain/baseline and
+        leaves physical conversion to the device (ops/adc_convert.py): half
+        the H2D bytes of the float32 path.  Requires the ADC cache."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +54,7 @@ class BatchSource:
             except Exception as e:  # non-uniform lengths etc. -> per-record reads
                 print(f"[BatchSource] ADC cache unavailable ({e}); falling back to per-record reads")
                 self._cache = None
+        self.emit_adc = emit_adc and self._cache is not None
 
     @property
     def steps_per_epoch(self) -> int:
@@ -71,12 +76,22 @@ class BatchSource:
             real = len(idx)
             if real < bs:  # pad to fixed shape
                 idx = np.concatenate([idx, np.repeat(idx[-1:], bs - real)])
-            sig = self._signals(idx)  # [B, L, T]
             batch = {
-                "ecg": np.ascontiguousarray(sig.transpose(0, 2, 1), dtype=np.float32),
                 "y": self.ds.y[idx].astype(np.float32),
                 "mask": (np.arange(bs) < real).astype(np.float32),
             }
+            if self.emit_adc:
+                c = self._cache
+                batch["adc"] = np.ascontiguousarray(
+                    np.asarray(c._adc[np.asarray(idx)]).transpose(0, 2, 1)
+                )  # [B, T, L] int16
+                batch["gain"] = c._gain[np.asarray(idx)]
+                batch["baseline"] = c._baseline[np.asarray(idx)]
+            else:
+                sig = self._signals(idx)  # [B, L, T]
+                batch["ecg"] = np.ascontiguousarray(
+                    sig.transpose(0, 2, 1), dtype=np.float32
+                )
             if self.has_demo:
                 batch["demo"] = self.ds.demo[idx].astype(np.float32)
             yield batch
@@ -97,10 +112,21 @@ def device_prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
 
+    convert = None
+
     def put(batch):
+        nonlocal convert
         if sharding is not None:
-            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
-        return {k: jax.device_put(v) for k, v in batch.items()}
+            dev = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        else:
+            dev = {k: jax.device_put(v) for k, v in batch.items()}
+        if "adc" in dev:  # int16 transfer path: convert to physical on device
+            if convert is None:
+                from ptbxl_tpu.ops.adc_convert import adc_to_physical_batch
+
+                convert = jax.jit(adc_to_physical_batch)
+            dev["ecg"] = convert(dev.pop("adc"), dev.pop("gain"), dev.pop("baseline"))
+        return dev
 
     def producer():
         try:
