@@ -119,8 +119,14 @@ def train(run: TrainRun) -> TrainState:
     train_step = make_train_step(run.model, tx, run.multimodal, run.normalize)
     eval_step = make_eval_step(run.model, run.multimodal, run.normalize)
 
-    train_src = BatchSource(run.train_ds, run.batch_size, shuffle=True, seed=run.seed)
-    val_src = BatchSource(run.val_ds, run.batch_size, shuffle=False, seed=run.seed)
+    # emit_adc ships int16 ADC and converts on device (half the H2D bytes);
+    # BatchSource silently falls back to the float32 path without a cache
+    train_src = BatchSource(
+        run.train_ds, run.batch_size, shuffle=True, seed=run.seed, emit_adc=True
+    )
+    val_src = BatchSource(
+        run.val_ds, run.batch_size, shuffle=False, seed=run.seed, emit_adc=True
+    )
 
     start_epoch = 0
     best_auprc = -1.0
