@@ -42,13 +42,36 @@ class Predictor:
         engine: str = "auto",  # 'auto' | 'xla' | 'pallas'
         chunk_size: int = 512,
         normalize: bool = True,
+        data_parallel: bool = False,
     ):
+        """``data_parallel=True`` shards each chunk's batch axis across all
+        devices of a 1-D mesh (GSPMD inserts the collectives); params are
+        replicated.  chunk_size must then be divisible by the device count."""
         self.variables = variables
         self.classes = classes
         self.chunk_size = chunk_size
         self.normalize = normalize
         self.engine = engine
         self.model = ECGCNN(feat_dim=feat_dim, num_labels=num_labels)
+
+        self._batch_sharding = None
+        if data_parallel:
+            from ptbxl_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicated_sharding,
+            )
+
+            mesh = make_mesh(n_model=1)
+            n_data = mesh.shape["data"]
+            if chunk_size % n_data:
+                raise ValueError(
+                    f"chunk_size {chunk_size} not divisible by {n_data} devices"
+                )
+            self._batch_sharding = batch_sharding(mesh)
+            self.variables = jax.device_put(self.variables, replicated_sharding(mesh))
+            if engine != "xla":
+                raise ValueError("data_parallel currently supports engine='xla'")
 
         self._folded = None
         if engine in ("auto", "pallas"):
@@ -80,6 +103,9 @@ class Predictor:
         return batch <= _PALLAS_MAX_BATCH
 
     def _forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._batch_sharding is not None:
+            x = jax.device_put(x, self._batch_sharding)
+            return self._xla_forward(self.variables, x)
         if self._use_pallas(x.shape[0]):
             from ptbxl_tpu.ops.pallas.fused_ecgcnn import fused_ecgcnn_probs
 
@@ -95,14 +121,21 @@ class Predictor:
             x = x.transpose(0, 2, 1)  # -> channels-last
         n = x.shape[0]
 
+        n_dev = 1
+        if self._batch_sharding is not None:
+            n_dev = self._batch_sharding.mesh.shape["data"]
+
         outs = []
         cs = self.chunk_size
         for i0 in range(0, n, cs):
             chunk = x[i0 : i0 + cs]
             real = chunk.shape[0]
-            if real < cs and n > cs:
+            target = cs if (real < cs and n > cs) else real
+            if target % n_dev:  # sharded batch axis must divide evenly
+                target += n_dev - target % n_dev
+            if real < target:
                 # pad to the fixed jit shape; surplus rows dropped below
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], cs - real, axis=0)])
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], target - real, axis=0)])
             probs = np.asarray(self._forward(jnp.asarray(chunk)))
             outs.append(probs[:real])
         return np.concatenate(outs, axis=0)

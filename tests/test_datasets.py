@@ -81,6 +81,23 @@ def test_validity_manifest_caches(ptbxl_dir):
     assert m2.filter_valid(rels) == mask
 
 
+def test_manifest_invalidates_on_file_change(ptbxl_dir, tmp_path):
+    """A record modified on disk must be re-checked, not served stale."""
+    import shutil
+
+    root = str(tmp_path / "mini")
+    shutil.copytree(ptbxl_dir, root)
+    rel = "records500/00000/00001_hr"
+    m = ValidityManifest(root)
+    assert m.filter_valid([rel]) == [True]
+    # truncate the .dat -> structurally invalid now
+    dat = f"{root}/{rel}.dat"
+    with open(dat, "r+b") as f:
+        f.truncate(10)
+    m2 = ValidityManifest(root)
+    assert m2.filter_valid([rel]) == [False]
+
+
 def test_malformed_label_rows_all_zero(ptbxl_dir):
     ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
     # fixture rows 7,8 (ecg_id 8,9) have malformed scp_codes

@@ -46,3 +46,11 @@ def test_chunking(predictor):
 
 def test_classes_loaded(predictor):
     assert predictor.classes == ["MI", "STTC", "HYP", "CD", "NORM"]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_matches_single_device(predictor):
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/single/*.npz")))
+    sigs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+    dp = Predictor.from_checkpoint(CKPT, engine="xla", data_parallel=True, chunk_size=8)
+    np.testing.assert_allclose(dp(sigs), predictor(sigs), atol=1e-5)
