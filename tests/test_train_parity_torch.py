@@ -1,0 +1,122 @@
+"""One-step training parity vs torch: same weights, same batch, same update.
+
+Builds the reference architecture in torch (Conv1d k=15 pad=7 -> BatchNorm ->
+ReLU -> MaxPool2 x4, GAP, proj, head — reference: src/models/ecg_cnn.py),
+loads IDENTICAL weights into both frameworks, runs ONE AdamW step on an
+identical batch, and compares the updated parameters.  This pins the loss,
+gradient, and optimizer semantics end-to-end (SURVEY §7 "hard parts").
+
+Known intentional deviation: torch updates BatchNorm running_var with the
+unbiased batch variance, flax with the biased one — a factor n/(n-1) over
+n = B*T elements; asserted loose.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+jax = pytest.importorskip("jax")
+
+import jax.numpy as jnp  # noqa: E402
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from ptbxl_tpu.models.factory import build_ecgcnn  # noqa: E402
+from ptbxl_tpu.models.params_io import flax_to_torch_ecgcnn, torch_to_flax_ecgcnn  # noqa: E402
+from ptbxl_tpu.training.loop import make_train_step  # noqa: E402
+from ptbxl_tpu.training.train_state import create_train_state, make_optimizer  # noqa: E402
+
+B, T, LABELS = 16, 256, 5
+LR, WD = 1e-3, 1e-4
+
+
+def _torch_model():
+    """Reference-shaped ECGCNN in torch, built from its published spec."""
+
+    class Block(tnn.Module):
+        """Named 'net' so state-dict keys match the reference layout
+        (backbone.{i}.net.{0,1}.*)."""
+
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.net = tnn.Sequential(
+                tnn.Conv1d(cin, cout, kernel_size=15, padding=7),
+                tnn.BatchNorm1d(cout),
+                tnn.ReLU(),
+                tnn.MaxPool1d(2),
+            )
+
+        def forward(self, x):
+            return self.net(x)
+
+    block = Block
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = tnn.Sequential(block(12, 32), block(32, 64), block(64, 128), block(128, 256))
+            self.gap = tnn.AdaptiveAvgPool1d(1)
+            self.proj = tnn.Linear(256, 256)
+            self.head = tnn.Linear(256, LABELS)
+
+        def forward(self, x):
+            h = self.backbone(x)
+            z = self.proj(self.gap(h).squeeze(-1))
+            return self.head(z)
+
+    return Net()
+
+
+@pytest.mark.slow
+def test_one_adamw_step_matches_torch(rng):
+    # identical weights in both frameworks
+    model, variables = build_ecgcnn(num_labels=LABELS, seed=0)
+    state_dict = flax_to_torch_ecgcnn(jax.device_get(variables))
+    tm = _torch_model()
+    tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()})
+    tm.train()
+
+    x = rng.standard_normal((B, T, 12)).astype(np.float32)
+    y = (rng.uniform(size=(B, LABELS)) > 0.7).astype(np.float32)
+
+    # --- torch step ---
+    opt = torch.optim.AdamW(tm.parameters(), lr=LR, weight_decay=WD)
+    opt.zero_grad()
+    logits_t = tm(torch.from_numpy(x.transpose(0, 2, 1).copy()))
+    loss_t = F.binary_cross_entropy_with_logits(logits_t, torch.from_numpy(y))
+    loss_t.backward()
+    opt.step()
+    new_torch = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+
+    # --- jax step (normalize='none': feed the same raw batch) ---
+    tx = make_optimizer(LR, WD)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, normalize="none", donate=False)
+    batch = {"ecg": x, "y": y, "mask": np.ones(B, np.float32)}
+    state, loss_j = step(state, batch)
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-5)
+
+    new_jax = flax_to_torch_ecgcnn(
+        {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)}
+    )
+
+    for k in new_torch:
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.endswith("net.0.bias"):
+            # conv bias feeds straight into train-mode BatchNorm, which
+            # subtracts the batch mean: its true gradient is ~0, so Adam
+            # normalizes pure float noise into an arbitrary-direction step.
+            # Only the step-size bound is meaningful.
+            delta = np.abs(new_jax[k] - state_dict[k])
+            assert np.all(delta <= 1.5 * LR), k
+            continue
+        if k.endswith("running_var"):
+            # biased vs unbiased batch variance in the running update
+            np.testing.assert_allclose(new_jax[k], new_torch[k], rtol=5e-3, atol=1e-5, err_msg=k)
+        elif k.endswith("running_mean"):
+            np.testing.assert_allclose(new_jax[k], new_torch[k], rtol=1e-4, atol=1e-6, err_msg=k)
+        else:
+            # parameters after one AdamW step: tight agreement
+            np.testing.assert_allclose(new_jax[k], new_torch[k], rtol=3e-4, atol=2e-5, err_msg=k)
