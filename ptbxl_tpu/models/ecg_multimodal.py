@@ -11,7 +11,7 @@ Same TPU-first conventions as ecg_cnn.py: channels-last [B, T, C], explicit
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

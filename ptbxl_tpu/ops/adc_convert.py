@@ -11,7 +11,6 @@ mapped to NaN (matching wfdb and io/wfdb_io.py semantics).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _SENTINEL = -32768

@@ -23,7 +23,7 @@ throughput (both gated in bench.py against the demo-pack parity check).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

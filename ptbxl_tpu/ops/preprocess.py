@@ -9,7 +9,6 @@ with numpy-style population std (ddof=0).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 EPS = 1e-6

@@ -14,8 +14,6 @@ All are static-shape, channels-last [B, T, C], and fuse under jit.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

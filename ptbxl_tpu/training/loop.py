@@ -19,7 +19,6 @@ loop_demo.py (two-input), rebuilt TPU-first:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import jax

@@ -1,0 +1,51 @@
+"""Per-class decision-threshold search.
+
+The reference declares ``metrics.thresholds: "search_per_class"`` in its
+configs but never implements it — the threshold is fixed at 0.5 everywhere
+(SURVEY.md §5; reference: configs/base.yaml:23, loop.py:70).  The CLI surface
+keeps that dormant behavior for parity; this module provides the capability
+as an opt-in library function for users who want it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from sklearn.metrics import f1_score
+
+
+def search_thresholds_per_class(
+    y_true: np.ndarray,
+    y_prob: np.ndarray,
+    grid: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """F1-maximizing threshold per class.
+
+    Args:
+        y_true: [N, C] binary labels
+        y_prob: [N, C] probabilities
+        grid: candidate thresholds (default 0.05..0.95 step 0.05)
+    Returns:
+        [C] thresholds; classes with no positives fall back to 0.5
+    """
+    if grid is None:
+        grid = np.arange(0.05, 0.951, 0.05)
+    n_classes = y_true.shape[1]
+    out = np.full(n_classes, 0.5, dtype=np.float64)
+    for c in range(n_classes):
+        yt = y_true[:, c]
+        if yt.sum() == 0 or yt.sum() == len(yt):
+            continue
+        best_f1, best_t = -1.0, 0.5
+        for t in grid:
+            f1 = f1_score(yt, (y_prob[:, c] >= t).astype(int), zero_division=0)
+            if f1 > best_f1:
+                best_f1, best_t = f1, float(t)
+        out[c] = best_t
+    return out
+
+
+def apply_thresholds(y_prob: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
+    """[N, C] probs, [C] thresholds -> [N, C] int predictions."""
+    return (y_prob >= np.asarray(thresholds)[None, :]).astype(int)

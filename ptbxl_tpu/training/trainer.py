@@ -21,7 +21,6 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
 import jax
-import numpy as np
 
 from ptbxl_tpu.data.pipeline import BatchSource, device_prefetch
 from ptbxl_tpu.models.params_io import export_pth, save_npz

@@ -1,0 +1,36 @@
+"""Per-class threshold search (opt-in feature; dormant in the reference)."""
+
+import numpy as np
+
+from ptbxl_tpu.training.thresholds import apply_thresholds, search_thresholds_per_class
+
+
+def test_finds_shifted_optimum():
+    rng = np.random.default_rng(0)
+    n = 2000
+    y = (rng.uniform(size=(n, 2)) > 0.7).astype(np.float32)
+    # class 0: probs centered around 0.5 decision -> ~0.5 optimal
+    p0 = np.clip(y[:, 0] * 0.6 + 0.2 + 0.1 * rng.standard_normal(n), 0, 1)
+    # class 1: systematically depressed probabilities -> optimum well below 0.5
+    p1 = np.clip(y[:, 1] * 0.25 + 0.05 + 0.04 * rng.standard_normal(n), 0, 1)
+    probs = np.stack([p0, p1], axis=1)
+
+    th = search_thresholds_per_class(y, probs)
+    assert 0.3 <= th[0] <= 0.7
+    assert th[1] < 0.35
+
+    from sklearn.metrics import f1_score
+
+    pred_default = (probs >= 0.5).astype(int)
+    pred_searched = apply_thresholds(probs, th)
+    f1_def = f1_score(y, pred_default, average="macro", zero_division=0)
+    f1_srch = f1_score(y, pred_searched, average="macro", zero_division=0)
+    assert f1_srch >= f1_def
+
+
+def test_degenerate_classes_fall_back():
+    y = np.zeros((10, 2), np.float32)
+    y[:, 1] = 1.0
+    probs = np.random.default_rng(0).uniform(size=(10, 2))
+    th = search_thresholds_per_class(y, probs)
+    np.testing.assert_array_equal(th, [0.5, 0.5])
