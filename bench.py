@@ -292,6 +292,43 @@ def bench_train_step(batch_size=64, iters=15):
     return batch_size * iters / float(np.median(times))
 
 
+def bench_pipeline_e2e(n_records=512, batch_size=256, epochs=1):
+    """End-to-end input pipeline: int16 memmap cache -> threaded prefetch ->
+    device conversion + z-score + forward.  Includes per-batch dispatch
+    latency (tunnel-dominated in this dev setup) — the honest serving number
+    for THIS environment; see the config table for pure device throughput."""
+    import tempfile
+
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from fixtures.synthetic_ptbxl import make_synthetic_ptbxl
+
+    from ptbxl_tpu.data import PTBXLDataset
+    from ptbxl_tpu.data.pipeline import BatchSource, device_prefetch
+
+    root = os.path.join(tempfile.gettempdir(), f"ptbxl_bench_{n_records}")
+    if not os.path.exists(os.path.join(root, "ptbxl_database.csv")):
+        make_synthetic_ptbxl(root, n_records=n_records, n_samples=5000, seed=7)
+
+    ds = PTBXLDataset(root, "train", ["MI", "STTC", "HYP", "CD", "NORM"])
+    src = BatchSource(ds, batch_size, shuffle=True, emit_adc=True)
+    forward, variables = _build(None, "bf16")
+
+    # warm epoch (compile + cache build)
+    for b in device_prefetch(src.epoch(0)):
+        forward(variables, b["ecg"]).block_until_ready()
+
+    t0 = time.perf_counter()
+    n_done = 0
+    for e in range(1, 1 + epochs):
+        for b in device_prefetch(src.epoch(e)):
+            out = forward(variables, b["ecg"])
+            n_done += int(np.asarray(b["mask"]).sum())
+    np.asarray(out)
+    return n_done / (time.perf_counter() - t0)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--full", action="store_true", help="detailed report")
@@ -309,6 +346,14 @@ def main():
                   f"(prob_err={r['prob_err']:.2e}, "
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
         print(f"# train step (bs=256): {bench_train_step(256):.1f} rec/s", file=sys.stderr)
+        try:
+            # NOTE: in this dev setup the tunnel caps H2D at ~150 MB/s with
+            # ~50 ms per dispatch, so this number measures the tunnel, not
+            # the input pipeline; tracked for regressions only.
+            print(f"# e2e pipeline (memmap->prefetch->device, tunnel-bound): "
+                  f"{bench_pipeline_e2e():.1f} rec/s", file=sys.stderr)
+        except Exception as e:
+            print(f"# e2e pipeline failed: {e}", file=sys.stderr)
         lat = bench_demo_latency()
         if lat is not None:
             print(f"# demo p50 latency (forward + Grad-CAM, 1 record): {lat:.2f} ms",
