@@ -128,10 +128,14 @@ def device_prefetch(
             dev["ecg"] = convert(dev.pop("adc"), dev.pop("gain"), dev.pop("baseline"))
         return dev
 
+    error = []
+
     def producer():
         try:
             for batch in host_iter:
                 q.put(put(batch))
+        except BaseException as e:  # propagate to the consumer, don't truncate
+            error.append(e)
         finally:
             q.put(_END)
 
@@ -140,5 +144,7 @@ def device_prefetch(
     while True:
         item = q.get()
         if item is _END:
+            if error:
+                raise error[0]
             break
         yield item

@@ -75,6 +75,17 @@ def test_device_prefetch_and_zscore(ptbxl_dir):
     np.testing.assert_allclose(np.asarray(normed), host, atol=2e-4)
 
 
+def test_prefetch_propagates_producer_errors():
+    def broken():
+        yield {"ecg": np.zeros((2, 8, 12), np.float32)}
+        raise RuntimeError("disk on fire")
+
+    it = device_prefetch(broken())
+    next(it)
+    with pytest.raises(RuntimeError, match="disk on fire"):
+        list(it)
+
+
 def test_zscore_matches_host_math():
     import jax
 
