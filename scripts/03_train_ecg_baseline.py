@@ -64,6 +64,7 @@ def main(args):
         feat_dim=model_cfg.get("feat_dim", 256),
         num_labels=len(classes),
         seed=C.get_seed(cfg),
+        precision=train_cfg.get("precision", "highest"),
     )
 
     ckpt_dir = os.path.join(out_dir, "ckpts")

@@ -69,6 +69,7 @@ def main(args):
         demo_hidden_dim=C.multimodal_hidden_dim(model_cfg),
         num_labels=len(classes),
         seed=C.get_seed(cfg),
+        precision=train_cfg.get("precision", "highest"),
     )
 
     # Optional warm start of the ECG encoder (reference: scripts/04:149-156)

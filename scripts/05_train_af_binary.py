@@ -62,6 +62,7 @@ def main(args):
         feat_dim=model_cfg.get("feat_dim", 256),
         num_labels=1,  # AF vs non-AF
         seed=C.get_seed(cfg),
+        precision=train_cfg.get("precision", "highest"),
     )
 
     run = TrainRun(
