@@ -30,6 +30,12 @@ import numpy as np
 NORTH_STAR_RPS = 1000.0
 
 
+def jnp_dtype32():
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
 def _enable_compile_cache():
     try:
         import jax
@@ -166,7 +172,6 @@ def bench_inference(full=False):
         ("pallas", None, "f32", [512, 2048]),
     ]
 
-    rng = np.random.default_rng(0)
     best = None
     for path, precision, dtype_name, batch_sizes in configs:
         try:
@@ -180,8 +185,12 @@ def bench_inference(full=False):
                 print(f"# config {path}/{precision}/{dtype_name} failed: {e}", file=sys.stderr)
             continue
         for bs in batch_sizes:
-            batch = jax.device_put(
-                rng.standard_normal((bs, 5000, 12)).astype(np.float32))
+            # synthesize the batch ON DEVICE: content is irrelevant to
+            # throughput and the dev tunnel's H2D is slow (~150 MB/s)
+            batch = jax.block_until_ready(
+                jax.jit(lambda: jax.random.normal(
+                    jax.random.PRNGKey(0), (bs, 5000, 12), jnp_dtype32()))()
+            )
             try:
                 rps = _throughput(forward, variables, batch)
             except Exception as e:  # OOM etc.
@@ -266,12 +275,16 @@ def bench_train_step(batch_size=64, iters=15):
             opt_state=new_opt,
         ), loss
 
-    rng = np.random.default_rng(0)
-    batch = {
-        "ecg": jax.device_put(rng.standard_normal((batch_size, 5000, 12)).astype(np.float32)),
-        "y": jax.device_put((rng.uniform(size=(batch_size, 5)) > 0.7).astype(np.float32)),
-        "mask": jax.device_put(np.ones(batch_size, np.float32)),
-    }
+    @jax.jit
+    def make_batch():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        return {
+            "ecg": jax.random.normal(k1, (batch_size, 5000, 12), jnp.float32),
+            "y": (jax.random.uniform(k2, (batch_size, 5)) > 0.7).astype(jnp.float32),
+            "mask": jnp.ones((batch_size,), jnp.float32),
+        }
+
+    batch = jax.block_until_ready(make_batch())
 
     @jax.jit
     def run_n(state, batch):
