@@ -127,6 +127,19 @@ def train(run: TrainRun) -> TrainState:
         run.val_ds, run.batch_size, shuffle=False, seed=run.seed, emit_adc=True
     )
 
+    # Opt-in TensorBoard scalars.  The reference declares `log.tb: true` but
+    # never writes TensorBoard (SURVEY §5); default behavior stays dormant —
+    # set PTBXL_TPU_TB=<dir> to activate.
+    tb_writer = None
+    tb_root = os.environ.get("PTBXL_TPU_TB")
+    if tb_root:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(os.path.join(tb_root, run.run_name))
+        except Exception as e:  # torch/tensorboard unavailable
+            print(f"[WARN] TensorBoard requested but unavailable: {e}")
+
     start_epoch = 0
     best_auprc = -1.0
     epochs_no_improve = 0
@@ -169,6 +182,11 @@ def train(run: TrainRun) -> TrainState:
         )
         if run.progress is not None:
             run.progress(epoch + 1, train_loss, val_metrics)
+        if tb_writer is not None:
+            tb_writer.add_scalar("train/bce", train_loss, epoch + 1)
+            for k, v in val_metrics.items():
+                tb_writer.add_scalar(f"val/{k}", float(v), epoch + 1)
+            tb_writer.flush()
 
         auprc = float(val_metrics.get("auprc_macro", -1))
         if auprc > best_auprc:
