@@ -1,8 +1,6 @@
 #!/usr/bin/env python
-# scripts/00_save_demo_ecg.py
-#
-# Export a few PTB-XL ECG samples as .npy files for quick demonstrations
-# (reference: scripts/00_save_demo_ecg.py).
+# scripts/00_save_demo_ecg.py — export a few test-split ECGs as .npy files.
+# Library backend: ptbxl_tpu/data/demo_export.py (reference: scripts/00_save_demo_ecg.py).
 
 import argparse
 import os
@@ -10,29 +8,19 @@ import sys
 
 sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-import numpy as np  # noqa: E402
-
 from ptbxl_tpu.data import PTBXLDataset  # noqa: E402
+from ptbxl_tpu.data.demo_export import export_npy_samples  # noqa: E402
 from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
 
 
 def main(args):
     set_seed(42)
-
     classes = args.classes.split(",") if args.classes else ["MI", "STTC", "HYP", "CD", "NORM"]
 
     ds = PTBXLDataset(args.base_dir, split="test", classes=classes, normalize="per_lead")
     print(f"[INFO] PTBXLDataset(test) size = {len(ds)}")
 
-    os.makedirs(args.out_dir, exist_ok=True)
-
-    n = min(args.num_samples, len(ds))
-    for i in range(n):
-        x, y = ds[i]
-        save_path = os.path.join(args.out_dir, f"demo_ecg_{i}.npy")
-        np.save(save_path, x)
-        print(f"[SAVE] demo ECG #{i} -> {save_path} | y = {y}")
-
+    export_npy_samples(ds, args.out_dir, args.num_samples, multimodal=False)
     print("[DONE] All demo ECG saved.")
 
 
@@ -45,5 +33,4 @@ if __name__ == "__main__":
                         help="Number of ECG files to export.")
     parser.add_argument("--classes", type=str, default="MI,STTC,HYP,CD,NORM",
                         help="Class list (comma-separated).")
-    args = parser.parse_args()
-    main(args)
+    main(parser.parse_args())

@@ -1,9 +1,6 @@
 #!/usr/bin/env python
-# scripts/09_merge_all_test.py
-#
-# Column-concatenate the three prediction CSVs (baseline, multimodal, AF)
-# after a row-count check; duplicate y_true_ columns are stripped from the
-# multimodal frame (reference: scripts/09_merge_all_test.py:47-58).
+# scripts/09_merge_all_test.py — merge the three per-task prediction CSVs.
+# Library backend: ptbxl_tpu/analysis/merge.py (reference: scripts/09).
 
 import argparse
 import os
@@ -13,53 +10,35 @@ sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 import pandas as pd  # noqa: E402
 
+from ptbxl_tpu.analysis.merge import merge_prediction_frames  # noqa: E402
+
+DEFAULTS = {
+    "baseline_csv": "outputs/ecg_baseline/preds/ecg_baseline_test_preds.csv",
+    "multimodal_csv": "outputs/ecg_multimodal/preds/ecg_multimodal_test_preds.csv",
+    "af_csv": "outputs/af_binary/preds/af_binary_test_preds.csv",
+    "out_csv": "outputs/merged/test_03_04_05_merged.csv",
+}
+
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument(
-        "--baseline_csv", type=str,
-        default="outputs/ecg_baseline/preds/ecg_baseline_test_preds.csv",
-    )
-    parser.add_argument(
-        "--multimodal_csv", type=str,
-        default="outputs/ecg_multimodal/preds/ecg_multimodal_test_preds.csv",
-    )
-    parser.add_argument(
-        "--af_csv", type=str,
-        default="outputs/af_binary/preds/af_binary_test_preds.csv",
-    )
-    parser.add_argument(
-        "--out_csv", type=str,
-        default="outputs/merged/test_03_04_05_merged.csv",
-    )
+    for flag, default in DEFAULTS.items():
+        parser.add_argument(f"--{flag}", type=str, default=default)
     args = parser.parse_args()
 
-    print("[INFO] Loading baseline:", args.baseline_csv)
-    df_base = pd.read_csv(args.baseline_csv)
+    frames = {}
+    for name, path in (("baseline", args.baseline_csv),
+                       ("multimodal", args.multimodal_csv),
+                       ("AF", args.af_csv)):
+        print(f"[INFO] Loading {name}:", path)
+        frames[name] = pd.read_csv(path)
 
-    print("[INFO] Loading multimodal:", args.multimodal_csv)
-    df_mm = pd.read_csv(args.multimodal_csv)
-
-    print("[INFO] Loading AF:", args.af_csv)
-    df_af = pd.read_csv(args.af_csv)
-
-    n = len(df_base)
-    if len(df_mm) != n or len(df_af) != n:
-        raise ValueError(
-            f"Row count mismatch: baseline={len(df_base)}, multimodal={len(df_mm)}, AF={len(df_af)}"
-        )
-
-    # Keep the baseline's ground-truth columns only
-    mm_cols = [c for c in df_mm.columns if not c.startswith("y_true_")]
-    df_mm = df_mm[mm_cols]
-
-    df_merged = pd.concat([df_base, df_mm, df_af], axis=1)
+    merged = merge_prediction_frames(frames["baseline"], frames["multimodal"], frames["AF"])
 
     os.makedirs(os.path.dirname(args.out_csv) or ".", exist_ok=True)
-    df_merged.to_csv(args.out_csv, index=False)
-
+    merged.to_csv(args.out_csv, index=False)
     print("[INFO] Saved merged CSV to:", args.out_csv)
-    print("[INFO] merged shape:", df_merged.shape)
+    print("[INFO] merged shape:", merged.shape)
 
 
 if __name__ == "__main__":

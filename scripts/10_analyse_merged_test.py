@@ -1,9 +1,7 @@
 #!/usr/bin/env python
-# scripts/10_analyse_merged_test.py
-#
-# Recompute metrics for all three models from the merged CSV.
-# Reference quirk preserved: this script (alone) uses the ALPHABETICAL label
-# order CD, HYP, MI, NORM, STTC (reference: scripts/10:37).
+# scripts/10_analyse_merged_test.py — recompute metrics from the merged CSV.
+# Reference quirk preserved: this script alone uses ALPHABETICAL label order
+# CD, HYP, MI, NORM, STTC (reference: scripts/10:37).
 
 import argparse
 import os
@@ -15,6 +13,14 @@ import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 from ptbxl_tpu.training.metrics import compute_metrics  # noqa: E402
+
+ECG_LABELS = ["CD", "HYP", "MI", "NORM", "STTC"]  # alphabetical (quirk)
+
+
+def _report(header, y_true, y_prob, threshold):
+    print(f"\n{header}")
+    for k, v in compute_metrics(y_true, y_prob, threshold=threshold).items():
+        print(f"  {k}: {v}")
 
 
 def main():
@@ -33,31 +39,25 @@ def main():
     print("[INFO] Loading merged CSV:", args.merged_csv)
     df = pd.read_csv(args.merged_csv)
     print("[INFO] merged shape:", df.shape)
+    print("[INFO] ECG labels:", ECG_LABELS)
 
-    ecg_labels = ["CD", "HYP", "MI", "NORM", "STTC"]
-    print("[INFO] ECG labels:", ecg_labels)
+    truth = df[[f"y_true_{lbl}" for lbl in ECG_LABELS]].values.astype(np.float32)
 
-    y_true = df[[f"y_true_{lbl}" for lbl in ecg_labels]].values.astype(np.float32)
-    y_prob_base = df[[f"y_prob_{lbl}" for lbl in ecg_labels]].values.astype(np.float32)
+    base_probs = df[[f"y_prob_{lbl}" for lbl in ECG_LABELS]].values.astype(np.float32)
+    _report("[Baseline ECG][TEST] metrics:", truth, base_probs, args.threshold)
 
-    print("\n[Baseline ECG][TEST] metrics:")
-    for k, v in compute_metrics(y_true, y_prob_base, threshold=args.threshold).items():
-        print(f"  {k}: {v}")
-
-    if all(f"y_prob_{lbl}_mm" in df.columns for lbl in ecg_labels):
-        y_prob_mm = df[[f"y_prob_{lbl}_mm" for lbl in ecg_labels]].values.astype(np.float32)
-        print("\n[ECG + demographics][TEST] metrics:")
-        for k, v in compute_metrics(y_true, y_prob_mm, threshold=args.threshold).items():
-            print(f"  {k}: {v}")
+    mm_cols = [f"y_prob_{lbl}_mm" for lbl in ECG_LABELS]
+    if all(c in df.columns for c in mm_cols):
+        _report("[ECG + demographics][TEST] metrics:",
+                truth, df[mm_cols].values.astype(np.float32), args.threshold)
     else:
         print("\n[WARN] Multimodal columns not found; skip ECG+demographics metrics.")
 
-    if "y_true_AF" in df.columns and "y_prob_AF" in df.columns:
-        y_true_af = df["y_true_AF"].values.astype(np.float32).reshape(-1, 1)
-        y_prob_af = df["y_prob_AF"].values.astype(np.float32).reshape(-1, 1)
-        print("\n[AF binary][TEST] metrics:")
-        for k, v in compute_metrics(y_true_af, y_prob_af, threshold=args.threshold).items():
-            print(f"  {k}: {v}")
+    if {"y_true_AF", "y_prob_AF"} <= set(df.columns):
+        _report("[AF binary][TEST] metrics:",
+                df["y_true_AF"].values.astype(np.float32).reshape(-1, 1),
+                df["y_prob_AF"].values.astype(np.float32).reshape(-1, 1),
+                args.threshold)
     else:
         print("\n[WARN] AF columns not found in merged CSV.")
 

@@ -1,8 +1,7 @@
 #!/usr/bin/env python
-# scripts/16_plot_baseline_only.py
-#
-# Baseline-only figures: per-class ROC, per-class PR, MI probability
-# distribution (reference: scripts/16_plot_baseline_only.py).
+# scripts/16_plot_baseline_only.py — baseline-only per-class ROC/PR and MI
+# distribution.  Library backend: ptbxl_tpu/analysis/figures.py
+# (reference: scripts/16).
 
 import os
 import sys
@@ -10,86 +9,9 @@ from pathlib import Path
 
 sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-import matplotlib
-
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
-import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
-import seaborn as sns  # noqa: E402
-from sklearn.metrics import (  # noqa: E402
-    average_precision_score,
-    precision_recall_curve,
-    roc_auc_score,
-    roc_curve,
-)
 
-
-def plot_baseline_per_class_roc(df, labels, out_path: Path):
-    plt.style.use("default")
-    fig, ax = plt.subplots(figsize=(6, 6))
-    for lb in labels:
-        y_true = df[f"y_true_{lb}"].values.astype(float)
-        y_prob = df[f"y_prob_{lb}"].values.astype(float)
-        if np.unique(y_true).size < 2:
-            print(f"[WARN] Skipped ROC for {lb} (y_true has single value).")
-            continue
-        fpr, tpr, _ = roc_curve(y_true, y_prob)
-        auroc = roc_auc_score(y_true, y_prob)
-        ax.plot(fpr, tpr, linewidth=2, label=f"{lb} (AUROC={auroc:.3f})")
-    ax.plot([0, 1], [0, 1], linestyle="--", color="#888888", linewidth=1)
-    ax.set_xlabel("False Positive Rate")
-    ax.set_ylabel("True Positive Rate")
-    ax.set_title("Baseline model — ROC curves (per class)")
-    ax.set_xlim(0, 1)
-    ax.set_ylim(0, 1)
-    ax.grid(alpha=0.3)
-    ax.legend(loc="lower right", fontsize=8)
-    fig.tight_layout()
-    fig.savefig(out_path, dpi=300)
-    plt.close(fig)
-
-
-def plot_baseline_per_class_pr(df, labels, out_path: Path):
-    plt.style.use("default")
-    fig, ax = plt.subplots(figsize=(6, 6))
-    for lb in labels:
-        y_true = df[f"y_true_{lb}"].values.astype(float)
-        y_prob = df[f"y_prob_{lb}"].values.astype(float)
-        if np.unique(y_true).size < 2:
-            print(f"[WARN] Skipped PR for {lb} (y_true has single value).")
-            continue
-        precision, recall, _ = precision_recall_curve(y_true, y_prob)
-        auprc = average_precision_score(y_true, y_prob)
-        ax.plot(recall, precision, linewidth=2, label=f"{lb} (AUPRC={auprc:.3f})")
-    ax.set_xlabel("Recall")
-    ax.set_ylabel("Precision")
-    ax.set_title("Baseline model — Precision-Recall curves (per class)")
-    ax.set_xlim(0, 1)
-    ax.set_ylim(0, 1)
-    ax.grid(alpha=0.3)
-    ax.legend(loc="upper right", fontsize=8)
-    fig.tight_layout()
-    fig.savefig(out_path, dpi=300)
-    plt.close(fig)
-
-
-def plot_baseline_mi_distribution(df, out_path: Path):
-    plt.style.use("default")
-    y_true = df["y_true_MI"].values.astype(float)
-    y_prob = df["y_prob_MI"].values.astype(float)
-
-    plt.figure(figsize=(8, 5))
-    sns.kdeplot(y_prob[y_true == 1], label="MI positive", color="#4C72B0", fill=True)
-    sns.kdeplot(y_prob[y_true == 0], label="MI negative", color="#4C72B0", linestyle="--")
-    plt.xlabel("Predicted probability")
-    plt.ylabel("Density")
-    plt.title("Baseline model — MI probability distribution")
-    plt.grid(alpha=0.3)
-    plt.legend()
-    plt.tight_layout()
-    plt.savefig(out_path, dpi=300)
-    plt.close()
+from ptbxl_tpu.analysis.figures import render_single_model_figures  # noqa: E402
 
 
 def main():
@@ -100,10 +22,7 @@ def main():
     df = pd.read_csv(merged_csv)
     print("[INFO] Loaded merged CSV:", df.shape)
 
-    labels = ["MI", "STTC", "HYP", "CD", "NORM"]
-    plot_baseline_per_class_roc(df, labels, out_dir / "baseline_per_class_roc.png")
-    plot_baseline_per_class_pr(df, labels, out_dir / "baseline_per_class_pr.png")
-    plot_baseline_mi_distribution(df, out_dir / "baseline_mi_distribution.png")
+    render_single_model_figures(df, out_dir)  # baseline defaults
 
     print("[INFO] All baseline figures saved:", out_dir.resolve())
 

@@ -1,9 +1,7 @@
 #!/usr/bin/env python
-# scripts/printsize.py
-#
-# Print dataset split sizes for the baseline and multimodal datasets
-# (reference: scripts/printsize.py — which hardcoded a Windows base_dir; here
-# the path comes from --base_dir or the PTBXL_BASE_DIR environment variable).
+# scripts/printsize.py — print split sizes for the baseline and multimodal
+# datasets (reference: scripts/printsize.py, which hardcoded a Windows
+# base_dir; here it comes from --base_dir / PTBXL_BASE_DIR).
 
 import argparse
 import os
@@ -13,28 +11,31 @@ sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 from ptbxl_tpu.data import PTBXLDataset, PTBXLECGMultimodalDataset  # noqa: E402
 
-parser = argparse.ArgumentParser()
-parser.add_argument("--base_dir", type=str,
-                    default=os.environ.get("PTBXL_BASE_DIR", "data/ptb-xl/1.0.3"))
-args = parser.parse_args()
+CLASSES = ["MI", "STTC", "HYP", "CD", "NORM"]
 
-base_dir = args.base_dir
-classes = ["MI", "STTC", "HYP", "CD", "NORM"]
 
-print("=== Baseline datasets ===")
-train_base = PTBXLDataset(base_dir=base_dir, split="train", classes=classes)
-val_base = PTBXLDataset(base_dir=base_dir, split="val", classes=classes)
-test_base = PTBXLDataset(base_dir=base_dir, split="test", classes=classes)
+def main(base_dir: str) -> None:
+    print("=== Baseline datasets ===")
+    sizes = {
+        split: len(PTBXLDataset(base_dir=base_dir, split=split, classes=CLASSES))
+        for split in ("train", "val", "test")
+    }
+    print("Baseline train size:", sizes["train"])
+    print("Baseline val size:  ", sizes["val"])
+    print("Baseline test size: ", sizes["test"])
 
-print("Baseline train size:", len(train_base))
-print("Baseline val size:  ", len(val_base))
-print("Baseline test size: ", len(test_base))
+    print("\n=== ECG + Demographics datasets ===")
+    mm_sizes = {
+        split: len(PTBXLECGMultimodalDataset(base_dir=base_dir, split=split, classes=CLASSES))
+        for split in ("train", "val", "test")
+    }
+    print("ECG+Demo train size:", mm_sizes["train"])
+    print("ECG+Demo val size:  ", mm_sizes["val"])
+    print("ECG+Demo test size: ", mm_sizes["test"])
 
-print("\n=== ECG + Demographics datasets ===")
-train_mm = PTBXLECGMultimodalDataset(base_dir=base_dir, split="train", classes=classes)
-val_mm = PTBXLECGMultimodalDataset(base_dir=base_dir, split="val", classes=classes)
-test_mm = PTBXLECGMultimodalDataset(base_dir=base_dir, split="test", classes=classes)
 
-print("ECG+Demo train size:", len(train_mm))
-print("ECG+Demo val size:  ", len(val_mm))
-print("ECG+Demo test size: ", len(test_mm))
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--base_dir", type=str,
+                        default=os.environ.get("PTBXL_BASE_DIR", "data/ptb-xl/1.0.3"))
+    main(parser.parse_args().base_dir)
