@@ -4,7 +4,11 @@ The reference has no inference API beyond its CLI scripts; this gives
 framework users a direct programmatic path:
 
     predictor = Predictor.from_checkpoint("outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
-    probs = predictor(signals)        # [N, 12, T] raw -> [N, num_labels]
+    probs = predictor(signals)                  # [N, 12, T] raw -> [N, L]
+
+    mm = Predictor.from_checkpoint("outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz",
+                                   arch="multimodal")
+    probs = mm(signals, demo=demo_vectors)      # + [N, 5] demographics
 
 * accepts reference-layout ``[N, 12, T]`` (or channels-last ``[N, T, 12]``)
   raw signals; per-lead z-score runs on device
@@ -12,6 +16,7 @@ framework users a direct programmatic path:
   ~5x faster on-chip) and the XLA path for large ones (see bench.py); both
   are numerically gated against the f32 parity path in tests
 * fixed-shape jit with automatic padding of the last partial chunk
+* data_parallel=True shards chunks over all devices of a 1-D mesh
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ptbxl_tpu.models.ecg_cnn import ECGCNN
+from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
 from ptbxl_tpu.models.params_io import load_checkpoint
 from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
 
@@ -31,7 +37,7 @@ _PALLAS_MAX_BATCH = 512
 
 
 class Predictor:
-    """Batched ECG classifier inference on one chip."""
+    """Batched ECG classifier inference (single- or multi-modal)."""
 
     def __init__(
         self,
@@ -39,6 +45,8 @@ class Predictor:
         classes: Optional[List[str]] = None,
         num_labels: int = 5,
         feat_dim: int = 256,
+        arch: str = "ecgcnn",  # 'ecgcnn' | 'multimodal'
+        demo_hidden_dim: int = 64,
         engine: str = "auto",  # 'auto' | 'xla' | 'pallas'
         chunk_size: int = 512,
         normalize: bool = True,
@@ -52,7 +60,13 @@ class Predictor:
         self.chunk_size = chunk_size
         self.normalize = normalize
         self.engine = engine
-        self.model = ECGCNN(feat_dim=feat_dim, num_labels=num_labels)
+        self.arch = arch
+        if arch == "multimodal":
+            self.model = ECGMultimodal(
+                feat_dim=feat_dim, num_labels=num_labels, demo_hidden_dim=demo_hidden_dim
+            )
+        else:
+            self.model = ECGCNN(feat_dim=feat_dim, num_labels=num_labels)
 
         self._batch_sharding = None
         if data_parallel:
@@ -74,26 +88,41 @@ class Predictor:
                 raise ValueError("data_parallel currently supports engine='xla'")
 
         self._folded = None
-        if engine in ("auto", "pallas"):
+        if engine in ("auto", "pallas") and self._batch_sharding is None:
             try:
-                from ptbxl_tpu.ops.pallas.fused_ecgcnn import fold_bn_into_conv
+                from ptbxl_tpu.ops.pallas.fused_ecgcnn import (
+                    fold_bn_into_conv,
+                    fold_multimodal,
+                )
 
-                self._folded = fold_bn_into_conv(variables)
+                fold = fold_multimodal if arch == "multimodal" else fold_bn_into_conv
+                self._folded = fold(variables)
             except Exception:
                 if engine == "pallas":
                     raise
 
-        @jax.jit
-        def _xla_forward(variables, x):
-            h = zscore_per_lead_batch(x) if self.normalize else x
-            return jax.nn.sigmoid(self.model.apply(variables, h, False))
+        if arch == "multimodal":
+
+            @jax.jit
+            def _xla_forward(variables, x, d):
+                h = zscore_per_lead_batch(x) if self.normalize else x
+                return jax.nn.sigmoid(self.model.apply(variables, h, d, False))
+
+        else:
+
+            @jax.jit
+            def _xla_forward(variables, x):
+                h = zscore_per_lead_batch(x) if self.normalize else x
+                return jax.nn.sigmoid(self.model.apply(variables, h, False))
 
         self._xla_forward = _xla_forward
 
     @classmethod
-    def from_checkpoint(cls, ckpt_path: str, num_labels: int = 5, **kwargs) -> "Predictor":
-        variables, classes = load_checkpoint(ckpt_path, arch="ecgcnn")
-        return cls(variables, classes=classes, num_labels=num_labels, **kwargs)
+    def from_checkpoint(
+        cls, ckpt_path: str, num_labels: int = 5, arch: str = "ecgcnn", **kwargs
+    ) -> "Predictor":
+        variables, classes = load_checkpoint(ckpt_path, arch=arch)
+        return cls(variables, classes=classes, num_labels=num_labels, arch=arch, **kwargs)
 
     def _use_pallas(self, batch: int) -> bool:
         if self.engine == "xla" or self._folded is None:
@@ -102,24 +131,40 @@ class Predictor:
             return True
         return batch <= _PALLAS_MAX_BATCH
 
-    def _forward(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _forward(self, x: jnp.ndarray, d: Optional[jnp.ndarray]) -> jnp.ndarray:
         if self._batch_sharding is not None:
             x = jax.device_put(x, self._batch_sharding)
-            return self._xla_forward(self.variables, x)
-        if self._use_pallas(x.shape[0]):
-            from ptbxl_tpu.ops.pallas.fused_ecgcnn import fused_ecgcnn_probs
+            if d is not None:
+                d = jax.device_put(d, self._batch_sharding)
+        elif self._use_pallas(x.shape[0]):
+            from ptbxl_tpu.ops.pallas.fused_ecgcnn import (
+                fused_ecgcnn_probs,
+                fused_multimodal_probs,
+            )
 
+            if self.arch == "multimodal":
+                return fused_multimodal_probs(x, d, self._folded, normalize=self.normalize)
             return fused_ecgcnn_probs(x, self._folded, normalize=self.normalize)
+        if self.arch == "multimodal":
+            return self._xla_forward(self.variables, x, d)
         return self._xla_forward(self.variables, x)
 
-    def __call__(self, signals: np.ndarray) -> np.ndarray:
-        """signals: [N, 12, T] or [N, T, 12] raw -> probs [N, num_labels]."""
+    def __call__(self, signals: np.ndarray, demo: Optional[np.ndarray] = None) -> np.ndarray:
+        """signals: [N, 12, T] or [N, T, 12] raw (+ demo [N, 5] for
+        multimodal) -> probs [N, num_labels]."""
         x = np.asarray(signals, dtype=np.float32)
         if x.ndim == 2:
             x = x[None]
         if x.shape[1] == 12 and x.shape[2] != 12:
             x = x.transpose(0, 2, 1)  # -> channels-last
         n = x.shape[0]
+
+        if self.arch == "multimodal":
+            if demo is None:
+                raise ValueError("multimodal Predictor requires demo vectors")
+            demo = np.asarray(demo, dtype=np.float32)
+            if demo.ndim == 1:
+                demo = demo[None]
 
         n_dev = 1
         if self._batch_sharding is not None:
@@ -129,13 +174,22 @@ class Predictor:
         cs = self.chunk_size
         for i0 in range(0, n, cs):
             chunk = x[i0 : i0 + cs]
+            d_chunk = demo[i0 : i0 + cs] if demo is not None else None
             real = chunk.shape[0]
             target = cs if (real < cs and n > cs) else real
             if target % n_dev:  # sharded batch axis must divide evenly
                 target += n_dev - target % n_dev
             if real < target:
                 # pad to the fixed jit shape; surplus rows dropped below
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], target - real, axis=0)])
-            probs = np.asarray(self._forward(jnp.asarray(chunk)))
+                pad = target - real
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+                if d_chunk is not None:
+                    d_chunk = np.concatenate([d_chunk, np.repeat(d_chunk[-1:], pad, axis=0)])
+            probs = np.asarray(
+                self._forward(
+                    jnp.asarray(chunk),
+                    jnp.asarray(d_chunk) if d_chunk is not None else None,
+                )
+            )
             outs.append(probs[:real])
         return np.concatenate(outs, axis=0)

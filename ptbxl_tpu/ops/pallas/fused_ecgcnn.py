@@ -53,10 +53,10 @@ def fold_bn_into_conv(variables: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         )
         i += 1
     out["n_blocks"] = i
-    out["proj_w"] = jnp.asarray(params["proj"]["kernel"])
-    out["proj_b"] = jnp.asarray(params["proj"]["bias"])
-    out["head_w"] = jnp.asarray(params["head"]["kernel"])
-    out["head_b"] = jnp.asarray(params["head"]["bias"])
+    for name in ("proj", "head"):  # head absent for ECGBackbone subtrees
+        if name in params:
+            out[f"{name}_w"] = jnp.asarray(params[name]["kernel"])
+            out[f"{name}_b"] = jnp.asarray(params[name]["bias"])
     return out
 
 
@@ -213,4 +213,153 @@ def _fused_logits_jit(
 def fused_ecgcnn_probs(x, folded, compute_dtype=jnp.float32, normalize=True, interpret=False):
     return jax.nn.sigmoid(
         fused_ecgcnn_logits(x, folded, compute_dtype, normalize, interpret)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal variant: ECG backbone + demographics MLP + FiLM + head, fused
+# ---------------------------------------------------------------------------
+
+
+def fold_multimodal(variables: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Fold the multimodal model for the fused kernel (BN into convs)."""
+    p = variables["params"]
+    bb = {"params": p["ecg_backbone"], "batch_stats": variables["batch_stats"]["ecg_backbone"]}
+    out = fold_bn_into_conv({"params": bb["params"], "batch_stats": bb["batch_stats"]})
+    # fold_bn_into_conv read proj/head from the backbone subtree; backbone has
+    # proj but no head — rebuild the dense tail explicitly
+    out.pop("head_w", None)
+    out.pop("head_b", None)
+    out["proj_w"] = jnp.asarray(p["ecg_backbone"]["proj"]["kernel"])
+    out["proj_b"] = jnp.asarray(p["ecg_backbone"]["proj"]["bias"])
+    out["fc1_w"] = jnp.asarray(p["demo_encoder"]["fc1"]["kernel"])
+    out["fc1_b"] = jnp.asarray(p["demo_encoder"]["fc1"]["bias"])
+    out["fc2_w"] = jnp.asarray(p["demo_encoder"]["fc2"]["kernel"])
+    out["fc2_b"] = jnp.asarray(p["demo_encoder"]["fc2"]["bias"])
+    out["film_w"] = jnp.asarray(p["film_gen"]["kernel"])
+    out["film_b"] = jnp.asarray(p["film_gen"]["bias"])
+    out["head_w"] = jnp.asarray(p["head"]["kernel"])
+    out["head_b"] = jnp.asarray(p["head"]["bias"])
+    return out
+
+
+_MM_DENSE_KEYS = (
+    "proj_w", "proj_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b",
+    "film_w", "film_b", "head_w", "head_b",
+)
+
+
+def _dot1(v, w, compute_dtype):
+    return jax.lax.dot_general(
+        v.astype(compute_dtype), w.astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _make_mm_kernel(n_blocks: int, compute_dtype, normalize: bool):
+    def kernel(x_ref, d_ref, *refs):
+        w_refs = refs[: 2 * n_blocks]
+        dense = refs[2 * n_blocks : 2 * n_blocks + len(_MM_DENSE_KEYS)]
+        o_ref = refs[-1]
+        (proj_w, proj_b, fc1_w, fc1_b, fc2_w, fc2_b,
+         film_w, film_b, head_w, head_b) = [r[...] for r in dense]
+
+        x = x_ref[0]
+        if normalize:
+            t = x.shape[0]
+            mean = jnp.sum(x, axis=0, keepdims=True) / t
+            centered = x - mean
+            var = jnp.sum(centered * centered, axis=0, keepdims=True) / t
+            x = centered / (jnp.sqrt(var) + ZS_EPS)
+
+        h = x
+        for i in range(n_blocks):
+            h = _conv_block(_pad_t(h), w_refs[2 * i][...], w_refs[2 * i + 1][...], compute_dtype)
+
+        ones = jnp.full((1, h.shape[0]), 1.0 / h.shape[0], dtype=jnp.float32)
+        g = jax.lax.dot_general(
+            ones, h, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        z_ecg = _dot1(g, proj_w, compute_dtype) + proj_b[None, :]
+
+        # demographics MLP (reference: ecg_multimodal.py:51-59)
+        # demo arrives in a (8, 128) tile; row 0's first demo_dim lanes are real
+        demo_dim = fc1_w.shape[0]
+        d = d_ref[0, 0:1, :demo_dim]  # [1, demo_dim]
+        h1 = jnp.maximum(_dot1(d, fc1_w, compute_dtype) + fc1_b[None, :], 0.0)
+        h2 = jnp.maximum(_dot1(h1, fc2_w, compute_dtype) + fc2_b[None, :], 0.0)
+
+        # FiLM (reference: ecg_multimodal.py:92-96)
+        film = _dot1(h2, film_w, compute_dtype) + film_b[None, :]
+        feat = z_ecg.shape[1]
+        gamma = 1.0 + jnp.tanh(film[:, :feat])
+        beta = film[:, feat:]
+        z_cond = gamma * z_ecg + beta
+
+        logits = _dot1(z_cond, head_w, compute_dtype) + head_b[None, :]
+        o_ref[0] = jnp.pad(logits, ((0, 7), (0, 128 - logits.shape[1])))
+
+    return kernel
+
+
+def fused_multimodal_logits(
+    x: jnp.ndarray,
+    demo: jnp.ndarray,
+    folded: Dict[str, jnp.ndarray],
+    compute_dtype=jnp.float32,
+    normalize: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: [B, T, 12] raw; demo: [B, 5] -> logits [B, num_labels]."""
+    n_blocks = int(folded["n_blocks"])
+    weights = {k: v for k, v in folded.items() if k != "n_blocks"}
+    return _fused_mm_jit(x, demo, weights, n_blocks, compute_dtype, normalize, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_blocks", "compute_dtype", "normalize", "interpret")
+)
+def _fused_mm_jit(x, demo, folded, n_blocks, compute_dtype, normalize, interpret):
+    b, t, c_in = x.shape
+    num_labels = folded["head_b"].shape[0]
+
+    # pad the [B, 5] demo vectors into TPU-tileable (B, 8, 128) blocks
+    demo_tiled = jnp.zeros((b, 8, 128), dtype=jnp.float32)
+    demo_tiled = demo_tiled.at[:, 0, : demo.shape[1]].set(demo)
+
+    weight_args = []
+    in_specs = [
+        pl.BlockSpec((1, t, c_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    def const_spec(arr):
+        zeros = (0,) * arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
+
+    for i in range(n_blocks):
+        for key in (f"w{i}", f"b{i}"):
+            weight_args.append(folded[key])
+            in_specs.append(const_spec(folded[key]))
+    for key in _MM_DENSE_KEYS:
+        weight_args.append(folded[key])
+        in_specs.append(const_spec(folded[key]))
+
+    out = pl.pallas_call(
+        _make_mm_kernel(n_blocks, compute_dtype, normalize),
+        out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, demo_tiled, *weight_args)
+    return out[:, 0, :num_labels]
+
+
+def fused_multimodal_probs(x, demo, folded, compute_dtype=jnp.float32, normalize=True, interpret=False):
+    return jax.nn.sigmoid(
+        fused_multimodal_logits(x, demo, folded, compute_dtype, normalize, interpret)
     )

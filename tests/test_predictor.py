@@ -48,6 +48,41 @@ def test_classes_loaded(predictor):
     assert predictor.classes == ["MI", "STTC", "HYP", "CD", "NORM"]
 
 
+def test_multimodal_predictor_matches_golden():
+    g = np.load(os.path.join(HERE, "tests/golden/golden_multimodal.npz"))
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/multimodal/*.npz")))
+    sigs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+    demos = np.stack([np.load(f, allow_pickle=True)["demo"] for f in files])
+    mm = Predictor.from_checkpoint(
+        os.path.join(HERE, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz"),
+        arch="multimodal", engine="xla",
+    )
+    probs = mm(sigs, demo=demos)
+    np.testing.assert_allclose(probs, g["probs"], atol=5e-4)
+
+    with pytest.raises(ValueError, match="demo"):
+        mm(sigs)  # multimodal requires demographics
+
+
+def test_multimodal_pallas_engine_interpret_parity():
+    """Fused multimodal kernel (interpret mode) matches the XLA engine."""
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.pallas.fused_ecgcnn import fold_multimodal, fused_multimodal_probs
+    from ptbxl_tpu.models import ECGMultimodal
+    import jax.numpy as jnp
+
+    variables, _ = load_npz(os.path.join(HERE, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz"))
+    model = ECGMultimodal(num_labels=5)
+    folded = fold_multimodal(variables)
+    f = sorted(glob.glob(os.path.join(HERE, "data/demo/multimodal/*.npz")))[0]
+    z = np.load(f, allow_pickle=True)
+    x = jnp.asarray(z["ecg"].T[None])
+    d = jnp.asarray(z["demo"][None])
+    got = fused_multimodal_probs(x, d, folded, normalize=False, interpret=True)
+    want = jax.nn.sigmoid(model.apply(variables, x, d, False))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_data_parallel_matches_single_device(predictor):
     files = sorted(glob.glob(os.path.join(HERE, "data/demo/single/*.npz")))
