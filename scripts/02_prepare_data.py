@@ -8,8 +8,6 @@ import sys
 
 sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-import pandas as pd  # noqa: E402
-
 from ptbxl_tpu.utils.label_maps import load_metadata  # noqa: E402
 
 

@@ -17,7 +17,6 @@ from ptbxl_tpu.utils.platform import apply_platform_env  # noqa: E402
 apply_platform_env()
 
 import jax  # noqa: E402
-import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 from ptbxl_tpu import config as C  # noqa: E402
@@ -26,7 +25,7 @@ from ptbxl_tpu.data.pipeline import BatchSource, device_prefetch  # noqa: E402
 from ptbxl_tpu.models.factory import load_ecgcnn  # noqa: E402
 from ptbxl_tpu.training.loop import make_eval_step, predict_all  # noqa: E402
 from ptbxl_tpu.training.metrics import compute_metrics  # noqa: E402
-from ptbxl_tpu.training.train_state import TrainState, create_train_state, make_optimizer  # noqa: E402
+from ptbxl_tpu.training.train_state import create_train_state, make_optimizer  # noqa: E402
 from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
 
 

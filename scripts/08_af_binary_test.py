@@ -16,7 +16,6 @@ from ptbxl_tpu.utils.platform import apply_platform_env  # noqa: E402
 apply_platform_env()
 
 import jax  # noqa: E402
-import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 from ptbxl_tpu import config as C  # noqa: E402
