@@ -207,7 +207,13 @@ def bench_inference(full=False):
 
 
 def bench_demo_latency(n=20):
-    """p50 latency of the jitted demo path: forward + Grad-CAM on one record."""
+    """Demo-path latency (forward + Grad-CAM, one record).
+
+    Returns (p50_dispatch_ms, onchip_ms): the former includes the dev
+    tunnel's RPC round-trip; the latter amortizes it inside one jit (the
+    number a production host would see per request, pipeline-depth 1).
+    """
+    import jax
     import jax.numpy as jnp
 
     from ptbxl_tpu.interpret.grad_cam import GradCAM
@@ -237,7 +243,28 @@ def bench_demo_latency(n=20):
         probs, cam = cam_fn(x, class_idx=0)
         np.asarray(probs), np.asarray(cam)
         times.append(time.perf_counter() - t0)
-    return float(np.percentile(times, 50) * 1000.0)
+    p50_dispatch = float(np.percentile(times, 50) * 1000.0)
+
+    # on-chip: chain ITERS full (probs, cam) computations in one jit
+    inner = cam_fn._fn
+    iters = 50
+
+    @jax.jit
+    def many(x):
+        def body(c, _):
+            probs, cam = inner(x * (1.0 + c * 1e-30), jnp.int32(0))
+            return jnp.sum(cam).astype(jnp.float32), jnp.sum(probs)
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    np.asarray(many(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(many(x))
+        ts.append(time.perf_counter() - t0)
+    onchip = float(np.median(ts) / iters * 1000.0)
+    return p50_dispatch, onchip
 
 
 def bench_train_step(batch_size=64, iters=15):
@@ -369,7 +396,9 @@ def main():
             print(f"# e2e pipeline failed: {e}", file=sys.stderr)
         lat = bench_demo_latency()
         if lat is not None:
-            print(f"# demo p50 latency (forward + Grad-CAM, 1 record): {lat:.2f} ms",
+            p50, onchip = lat
+            print(f"# demo latency (forward + Grad-CAM, 1 record): "
+                  f"p50 {p50:.2f} ms dispatch-inclusive, {onchip:.2f} ms on-chip",
                   file=sys.stderr)
 
     value = best["rps"] if best else 0.0
