@@ -102,6 +102,7 @@ class GradCAM:
         self.eps = eps
         self.multimodal = multimodal
         self._fn = jax.jit(self._build(), static_argnames=())
+        self._multi_fn = jax.jit(self._build_multi(), static_argnames=())
 
     def _build(self) -> Callable:
         model, variables = self.model, self.variables
@@ -147,6 +148,54 @@ class GradCAM:
 
         return fn
 
+    def _build_multi(self) -> Callable:
+        """Multi-class variant: ONE forward, one vjp, stacked cotangents.
+
+        The features pass (the four conv blocks, ~99% of the FLOPs) and the
+        tail linearization run once; each class then costs only a pullback of
+        its one-hot cotangent through the (linear) vjp, vmapped over the
+        class axis.  Numerically identical to per-class calls.
+        """
+        model, variables = self.model, self.variables
+        sig_len, norm_first, eps = self.signal_length, self.norm_first, self.eps
+        multimodal = self.multimodal
+
+        def fn(x: jnp.ndarray, class_indices: jnp.ndarray, *extra):
+            a = model.apply(variables, x, False, method=model.features)
+
+            if multimodal:
+                (x_demo,) = extra
+
+                def tail(a_):
+                    return model.apply(variables, a_, x_demo, False, method=model.tail)
+
+            else:
+
+                def tail(a_):
+                    return model.apply(variables, a_, False, method=model.tail)
+
+            logits, vjp_fn = jax.vjp(tail, a)
+            num_labels = logits.shape[-1]
+            cts = jax.nn.one_hot(class_indices, num_labels, dtype=logits.dtype)  # [n, L]
+            cts = jnp.broadcast_to(cts[:, None, :], (cts.shape[0],) + logits.shape)
+            dydas = jax.vmap(lambda ct: vjp_fn(ct)[0])(cts)  # [n, B, T', C]
+
+            w = jnp.mean(dydas, axis=2, keepdims=True)  # [n, B, 1, C]
+            cams = jax.nn.relu(jnp.sum(w * a[None], axis=-1))  # [n, B, T']
+
+            if norm_first:
+                cams = _minmax_guarded(cams)
+                if sig_len is not None:
+                    cams = linear_interpolate_1d(cams, sig_len)
+            else:
+                if sig_len is not None:
+                    cams = linear_interpolate_1d(cams, sig_len)
+                cams = _minmax_eps(cams, eps)
+
+            return jax.nn.sigmoid(logits), cams
+
+        return fn
+
     def __call__(self, x, class_idx: int = 0, x_demo=None):
         """x: [B, T, C] -> (probs [B, L], cam [B, signal_length])."""
         ci = jnp.asarray(class_idx, dtype=jnp.int32)
@@ -154,25 +203,25 @@ class GradCAM:
             return self._fn(x, ci, x_demo)
         return self._fn(x, ci)
 
+    def multi(self, x, class_indices, x_demo=None):
+        """x: [B, T, C], class_indices: [n] -> (probs [B, L], cams [n, B, T])."""
+        ci = jnp.asarray(class_indices, dtype=jnp.int32)
+        if self.multimodal:
+            return self._multi_fn(x, ci, x_demo)
+        return self._multi_fn(x, ci)
+
 
 def batch_grad_cam(
     cam_fn: "GradCAM", x: jnp.ndarray, class_indices, x_demo=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """CAMs for a batch of samples across MULTIPLE classes in one pass.
 
-    Returns (probs [B, L], cams [n_classes, B, T]).  The per-class passes
-    reuse the same jitted (probs, cam) function; the forward features are
-    recomputed per class (XLA CSEs the shared work within each call).
+    Returns (probs [B, L], cams [n_classes, B, T]).  Computes the conv
+    features and the tail vjp once; per-class one-hot cotangents are pulled
+    back through a single vmapped vjp (see GradCAM._build_multi), so 5-class
+    CAMs cost ~one forward instead of five.
     """
-    cams = []
-    probs = None
-    for ci in class_indices:
-        if cam_fn.multimodal:
-            probs, cam = cam_fn(x, class_idx=int(ci), x_demo=x_demo)
-        else:
-            probs, cam = cam_fn(x, class_idx=int(ci))
-        cams.append(cam)
-    return probs, jnp.stack(cams, axis=0)
+    return cam_fn.multi(x, class_indices, x_demo=x_demo)
 
 
 def demo_importance(model, variables, x_ecg, x_demo, class_idx: int) -> jnp.ndarray:

@@ -7,10 +7,30 @@ needs — and a bit more — directly:
 
 * header (.hea) parsing: record line + signal lines, including gain/baseline/
   units syntax ``gain(baseline)/units``
-* signal (.dat) decoding for formats 16 (PTB-XL), 32, 80, and 212
+* signal (.dat) decoding for formats 16 (PTB-XL), 24, 32, 80, and 212
+  (including the odd-total-sample-count 212 tail)
+* multi-sample frames (``samps_per_frame``, smoothed by frame averaging like
+  ``wfdb.rdsamp``'s default ``smooth_frames=True``) and per-signal ``skew``
 * physical conversion ``(adc - baseline) / gain`` with WFDB missing-sample
   sentinel -> NaN, matching wfdb.rdsamp numerics
 * format-16 writing (used to build hermetic test fixtures)
+
+Support matrix (vs the full WFDB spec / wfdb-python):
+
+=================  =========================================================
+Capability         Status
+=================  =========================================================
+fmt 16/32/80/212   full decode incl. missing-sample sentinels
+fmt 24             full decode (3-byte little-endian two's complement)
+fmt 8/160/310/311  NOT supported -> NotImplementedError
+samps_per_frame    supported, frame-averaged (wfdb smooth_frames=True);
+                   a frame containing a missing sentinel reads as NaN
+skew               supported; samples shifted earlier by ``skew`` frames,
+                   tail padded with NaN (wfdb pads identically)
+byte_offset        supported (``+n`` suffix on the format field)
+checksum           parsed, not verified (wfdb.rdsamp does not verify either)
+multi-segment      NOT supported (PTB-XL records are single-segment)
+=================  =========================================================
 
 Returned signals are ``[T, n_sig]`` like ``wfdb.rdsamp``, so downstream code
 keeps the reference's transpose-to-[12, T] convention at its boundary.
@@ -152,27 +172,36 @@ def read_header(record_path: str) -> WFDBHeader:
     return header
 
 
-def _decode_fmt16(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
-    adc = np.frombuffer(raw, dtype="<i2", count=n_samples * n_sig)
-    return adc.reshape(n_samples, n_sig)
+def _decode_fmt16(raw: bytes, total: int) -> np.ndarray:
+    return np.frombuffer(raw, dtype="<i2", count=total).astype(np.int32)
 
 
-def _decode_fmt32(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
-    adc = np.frombuffer(raw, dtype="<i4", count=n_samples * n_sig)
-    return adc.reshape(n_samples, n_sig)
+def _decode_fmt32(raw: bytes, total: int) -> np.ndarray:
+    return np.frombuffer(raw, dtype="<i4", count=total).astype(np.int32)
 
 
-def _decode_fmt80(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
+def _decode_fmt80(raw: bytes, total: int) -> np.ndarray:
     # 8-bit offset binary: stored byte = value + 128
-    b = np.frombuffer(raw, dtype=np.uint8, count=n_samples * n_sig)
-    return (b.astype(np.int16) - 128).reshape(n_samples, n_sig)
+    b = np.frombuffer(raw, dtype=np.uint8, count=total)
+    return b.astype(np.int32) - 128
 
 
-def _decode_fmt212(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
-    # Pairs of 12-bit samples packed into 3 bytes.
-    total = n_samples * n_sig
+def _decode_fmt24(raw: bytes, total: int) -> np.ndarray:
+    # 3 bytes per sample, little-endian two's complement.
+    b = np.frombuffer(raw, dtype=np.uint8, count=total * 3).astype(np.int32)
+    v = b[0::3] | (b[1::3] << 8) | (b[2::3] << 16)
+    return np.where(v >= 2**23, v - 2**24, v)
+
+
+def _decode_fmt212(raw: bytes, total: int) -> np.ndarray:
+    # Pairs of 12-bit samples packed into 3 bytes.  An odd total leaves the
+    # final triplet truncated to 2 bytes on disk (spec: ceil(1.5 * total)
+    # bytes); pad so the vectorized unpack below sees whole triplets.
     n_pairs = (total + 1) // 2
-    b = np.frombuffer(raw, dtype=np.uint8, count=n_pairs * 3).astype(np.int32)
+    need = n_pairs * 3
+    if len(raw) < need:
+        raw = raw + b"\x00" * (need - len(raw))
+    b = np.frombuffer(raw, dtype=np.uint8, count=need).astype(np.int32)
     b0, b1, b2 = b[0::3], b[1::3], b[2::3]
     s1 = ((b1 & 0x0F) << 8) | b0
     s2 = ((b1 & 0xF0) << 4) | b2
@@ -181,23 +210,37 @@ def _decode_fmt212(raw: bytes, n_samples: int, n_sig: int) -> np.ndarray:
     flat = np.empty(n_pairs * 2, dtype=np.int32)
     flat[0::2] = s1
     flat[1::2] = s2
-    return flat[:total].reshape(n_samples, n_sig)
+    return flat[:total]
 
 
-_DECODERS = {16: _decode_fmt16, 32: _decode_fmt32, 80: _decode_fmt80, 212: _decode_fmt212}
+_DECODERS = {
+    16: _decode_fmt16,
+    24: _decode_fmt24,
+    32: _decode_fmt32,
+    80: _decode_fmt80,
+    212: _decode_fmt212,
+}
 
 
 def read_adc(record_path: str, header: Optional[WFDBHeader] = None) -> Tuple[np.ndarray, WFDBHeader]:
-    """Read raw ADC integer samples ``[T, n_sig]`` (no physical conversion)."""
+    """Read ADC samples ``[n_frames, n_sig]`` (no physical conversion).
+
+    Plain records (all ``samps_per_frame == 1``, no skew — every PTB-XL
+    record) return int32.  Records with multi-sample frames or skew return
+    float64: frames are averaged per signal (wfdb ``smooth_frames=True``
+    semantics) and skewed/out-of-range samples read as NaN.
+    """
     if header is None:
         header = read_header(record_path)
 
-    if any(s.samps_per_frame != 1 or s.skew != 0 for s in header.signals):
-        raise NotImplementedError("samps_per_frame/skew not supported (not used by PTB-XL)")
+    general = any(s.samps_per_frame != 1 or s.skew != 0 for s in header.signals)
+    dtype = np.float64 if general else np.int32
 
     rec_dir = os.path.dirname(record_path)
-    # Signals grouped by .dat file; within a file they are interleaved per frame.
-    out = np.empty((header.n_samples, header.n_sig), dtype=np.int32)
+    n_frames = header.n_samples
+    # Signals grouped by .dat file; within a file, frames interleave each
+    # signal's samps_per_frame samples in signal order.
+    out = np.empty((n_frames, header.n_sig), dtype=dtype)
     col = 0
     i = 0
     while i < header.n_sig:
@@ -211,16 +254,41 @@ def read_adc(record_path: str, header: Optional[WFDBHeader] = None) -> Tuple[np.
         if any(s.fmt != fmt for s in group):
             raise NotImplementedError("mixed formats within one signal file")
         if fmt not in _DECODERS:
-            raise NotImplementedError(f"WFDB format {fmt} not supported")
+            raise NotImplementedError(
+                f"WFDB format {fmt} not supported (see support matrix in "
+                "ptbxl_tpu/io/wfdb_io.py)"
+            )
 
         dat_path = os.path.join(rec_dir, fname)
         with open(dat_path, "rb") as f:
             if group[0].byte_offset:
                 f.seek(group[0].byte_offset)
             raw = f.read()
-        adc = _DECODERS[fmt](raw, header.n_samples, len(group))
-        out[:, col : col + len(group)] = adc
-        col += len(group)
+
+        frame_len = sum(s.samps_per_frame for s in group)
+        flat = _DECODERS[fmt](raw, n_frames * frame_len)
+        frames = flat.reshape(n_frames, frame_len)
+
+        pos = 0
+        for spec in group:
+            spf = spec.samps_per_frame
+            if not general:
+                out[:, col] = frames[:, pos]
+            else:
+                sub = frames[:, pos : pos + spf].astype(np.float64)
+                missing = _MISSING.get(fmt)
+                if missing is not None:
+                    sub[frames[:, pos : pos + spf] == missing] = np.nan
+                colv = sub[:, 0] if spf == 1 else sub.mean(axis=1)
+                if spec.skew:
+                    # sample n of this signal lives at frame n + skew; the
+                    # tail beyond the file is unavailable -> NaN (wfdb pads
+                    # skewed channels the same way)
+                    k = min(spec.skew, n_frames)
+                    colv = np.concatenate([colv[k:], np.full(k, np.nan)])
+                out[:, col] = colv
+            pos += spf
+            col += 1
         i = j
 
     return out, header

@@ -37,9 +37,27 @@ def test_batch_grad_cam_multiple_classes(rng):
     probs, cams = batch_grad_cam(cam_fn, x, class_indices=[0, 2, 4])
     assert probs.shape == (3, 5)
     assert cams.shape == (3, 3, 256)
-    # each class's cam equals the single-class call
-    _, cam2 = cam_fn(x, class_idx=2)
-    np.testing.assert_allclose(np.asarray(cams[1]), np.asarray(cam2), atol=1e-6)
+    # each class's cam equals the single-class call (one-forward path must
+    # be numerically identical to the per-class vjp)
+    for slot, ci in enumerate([0, 2, 4]):
+        _, cam_i = cam_fn(x, class_idx=ci)
+        np.testing.assert_allclose(np.asarray(cams[slot]), np.asarray(cam_i), atol=1e-6)
+    probs_i, _ = cam_fn(x, class_idx=0)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_i), atol=1e-6)
+
+
+def test_batch_grad_cam_multimodal(rng):
+    from ptbxl_tpu.models.factory import build_multimodal
+
+    model, variables = build_multimodal(num_labels=5, seed=0)
+    x = jnp.asarray(rng.standard_normal((2, 256, 12)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))
+    cam_fn = GradCAM(model, variables, signal_length=256, multimodal=True, eps=1e-8)
+    probs, cams = batch_grad_cam(cam_fn, x, class_indices=[1, 3], x_demo=d)
+    assert cams.shape == (2, 2, 256)
+    for slot, ci in enumerate([1, 3]):
+        _, cam_i = cam_fn(x, class_idx=ci, x_demo=d)
+        np.testing.assert_allclose(np.asarray(cams[slot]), np.asarray(cam_i), atol=1e-6)
 
 
 def test_plotting_writes_pngs(tmp_path, rng):

@@ -58,8 +58,110 @@ def test_fmt212_decoding():
     b1 = ((u1 >> 8) & 0x0F) | (((u2 >> 8) & 0x0F) << 4)
     b2 = u2 & 0xFF
     raw = bytes([b0, b1, b2])
-    out = _decode_fmt212(raw, 2, 1)
-    assert out[0, 0] == 100 and out[1, 0] == -200
+    out = _decode_fmt212(raw, 2)
+    assert out[0] == 100 and out[1] == -200
+
+
+def _pack212(samples):
+    """Pack a list of 12-bit signed samples per the WFDB 212 spec."""
+    out = bytearray()
+    for i in range(0, len(samples) - 1, 2):
+        u1, u2 = samples[i] & 0xFFF, samples[i + 1] & 0xFFF
+        out += bytes([u1 & 0xFF, ((u1 >> 8) & 0x0F) | (((u2 >> 8) & 0x0F) << 4), u2 & 0xFF])
+    if len(samples) % 2:
+        u1 = samples[-1] & 0xFFF
+        out += bytes([u1 & 0xFF, (u1 >> 8) & 0x0F])  # truncated final triplet
+    return bytes(out)
+
+
+def test_fmt212_odd_sample_count(tmp_path):
+    # 3 samples, 1 signal: 5 bytes on disk (ceil(1.5 * 3)), not 6
+    samples = [100, -200, 1234]
+    raw = _pack212(samples)
+    assert len(raw) == 5
+    out = _decode_fmt212(raw, 3)
+    assert list(out) == samples
+
+    rec = str(tmp_path / "odd212")
+    with open(rec + ".dat", "wb") as f:
+        f.write(raw)
+    with open(rec + ".hea", "w") as f:
+        f.write("odd212 1 360 3\nodd212.dat 212 200(0)/mV 12 0 100 0 0 sig0\n")
+    phys, h = rdsamp(rec)
+    np.testing.assert_allclose(phys[:, 0], np.array(samples) / 200.0)
+
+
+def test_fmt24_roundtrip(tmp_path):
+    from ptbxl_tpu.io.wfdb_io import _decode_fmt24
+
+    vals = np.array([0, 1, -1, 8_000_000, -8_000_000, 2**23 - 1, -(2**23) + 1])
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    out = _decode_fmt24(raw, len(vals))
+    np.testing.assert_array_equal(out, vals)
+
+    rec = str(tmp_path / "f24")
+    with open(rec + ".dat", "wb") as f:
+        f.write(raw[: 6 * 3])  # 3 frames x 2 signals
+    with open(rec + ".hea", "w") as f:
+        f.write("f24 2 500 3\n"
+                "f24.dat 24 1000(0)/mV 24 0 0 0 0 a\n"
+                "f24.dat 24 1000(0)/mV 24 0 1 0 0 b\n")
+    adc, h = read_adc(rec)
+    assert adc.dtype == np.int32
+    np.testing.assert_array_equal(adc, vals[:6].reshape(3, 2))
+
+
+def test_samps_per_frame_smoothing(tmp_path):
+    # signal 0 at 2 samples/frame, signal 1 at 1: frame = [a0, a1, b0]
+    frames = np.array([[10, 20, 1], [30, 50, 2], [0, 0, 3]], dtype=np.int16)
+    rec = str(tmp_path / "spf")
+    with open(rec + ".dat", "wb") as f:
+        f.write(frames.astype("<i2").tobytes())
+    with open(rec + ".hea", "w") as f:
+        f.write("spf 2 500 3\n"
+                "spf.dat 16x2 1000(0)/mV 16 0 10 0 0 fast\n"
+                "spf.dat 16 1000(0)/mV 16 0 1 0 0 slow\n")
+    adc, h = read_adc(rec)
+    assert adc.dtype == np.float64  # general path
+    np.testing.assert_allclose(adc[:, 0], [15.0, 40.0, 0.0])  # frame means
+    np.testing.assert_allclose(adc[:, 1], [1.0, 2.0, 3.0])
+    phys, _ = rdsamp(rec)
+    np.testing.assert_allclose(phys[:, 0], [0.015, 0.040, 0.0])
+
+
+def test_samps_per_frame_missing_sentinel(tmp_path):
+    frames = np.array([[10, -32768], [4, 6]], dtype=np.int16)
+    rec = str(tmp_path / "spfnan")
+    with open(rec + ".dat", "wb") as f:
+        f.write(frames.astype("<i2").tobytes())
+    with open(rec + ".hea", "w") as f:
+        f.write("spfnan 1 500 2\nspfnan.dat 16x2 1000(0)/mV 16 0 10 0 0 s\n")
+    adc, _ = read_adc(rec)
+    assert np.isnan(adc[0, 0]) and adc[1, 0] == 5.0
+
+
+def test_skew_shifts_and_pads(tmp_path):
+    sig = np.arange(1, 6, dtype=np.int16)[:, None]  # [5, 1]
+    rec = str(tmp_path / "skew")
+    with open(rec + ".dat", "wb") as f:
+        f.write(sig.astype("<i2").tobytes())
+    with open(rec + ".hea", "w") as f:
+        f.write("skew 1 500 5\nskew.dat 16:2 1000(0)/mV 16 0 1 0 0 s\n")
+    h = read_header(rec)
+    assert h.signals[0].skew == 2
+    adc, _ = read_adc(rec)
+    np.testing.assert_allclose(adc[:3, 0], [3.0, 4.0, 5.0])
+    assert np.isnan(adc[3, 0]) and np.isnan(adc[4, 0])
+
+
+def test_unsupported_format_raises(tmp_path):
+    rec = str(tmp_path / "f310")
+    with open(rec + ".dat", "wb") as f:
+        f.write(b"\x00" * 16)
+    with open(rec + ".hea", "w") as f:
+        f.write("f310 1 500 4\nf310.dat 310 200(0)/mV 10 0 0 0 0 s\n")
+    with pytest.raises(NotImplementedError, match="310"):
+        read_adc(rec)
 
 
 def test_gain_zero_defaults(tmp_path):
