@@ -17,9 +17,11 @@ def build_ecgcnn(
     num_labels: int = 5,
     seed: int = 42,
     precision: Optional[str] = "highest",
+    dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[ECGCNN, Dict]:
     model = ECGCNN(
-        feat_dim=feat_dim, num_labels=num_labels, in_leads=in_leads, precision=precision
+        feat_dim=feat_dim, num_labels=num_labels, in_leads=in_leads,
+        precision=precision, dtype=dtype,
     )
     # init length is irrelevant to parameter shapes (conv is length-invariant)
     variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, in_leads)))

@@ -95,6 +95,9 @@ def make_eval_step(
         logits = model.apply(
             state.variables(), *_model_inputs(batch, x, multimodal), False
         )
+        # always f32 at the boundary: host metrics (sklearn) and CSV writers
+        # consume these even when the model computes in bf16
+        logits = logits.astype(jnp.float32)
         return jax.nn.sigmoid(logits), _per_sample_bce(logits, batch["y"])
 
     return jax.jit(step)

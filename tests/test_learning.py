@@ -73,11 +73,26 @@ class _ArraySource:
 
 
 @pytest.mark.slow
-def test_training_learns_af_like_task():
+@pytest.mark.parametrize(
+    "precision,dtype",
+    [
+        ("highest", "float32"),  # f32 parity path (train.precision: highest)
+        (None, "bfloat16"),      # quality gate for the bf16 perf path: bf16
+        # activations are strictly LESS precise than the TPU default-precision
+        # MXU path (which only reduces matmul inputs), so passing here bounds
+        # the advertised `train.precision: default` throughput config
+    ],
+    ids=["f32-parity", "bf16"],
+)
+def test_training_learns_af_like_task(precision, dtype):
+    import jax.numpy as jnp
+
     train_ds = _SyntheticBeats(192, seed=0)
     val_ds = _SyntheticBeats(64, seed=1)
 
-    model, variables = build_ecgcnn(num_labels=1, seed=0)
+    model, variables = build_ecgcnn(
+        num_labels=1, seed=0, precision=precision, dtype=getattr(jnp, dtype)
+    )
     tx = make_optimizer(1e-3, 1e-4)
     state = create_train_state(model, variables, tx)
     train_step = make_train_step(model, tx, donate=False)

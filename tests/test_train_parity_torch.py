@@ -122,3 +122,94 @@ def test_one_adamw_step_matches_torch(rng):
             # isolated near-zero-gradient weights where Adam amplifies noise;
             # 1e-4 is 10x below the lr=1e-3 step size)
             np.testing.assert_allclose(new_jax[k], new_torch[k], rtol=3e-4, atol=1e-4, err_msg=k)
+
+
+@pytest.mark.slow
+def test_fifty_step_trajectory_matches_torch(rng):
+    """50 AdamW steps on fresh batches: the trajectories must stay locked.
+
+    Pins what the one-step test cannot: AdamW moment accumulation, BN
+    running-stat tracking, and loss/grad parity compounding over a real
+    trajectory (reference loop: src/training/loop.py:14-38,
+    scripts/03_train_ecg_baseline.py:143-163).
+
+    Tolerances are set by the BN gauge structure, not wishful thinking:
+    every conv layer followed by train-mode BatchNorm has null directions
+    (its bias, and the overall scale of its filters) along which the loss
+    gradient is pure float noise; Adam normalizes that noise into O(lr)
+    steps whose direction differs between frameworks (conv reduction order
+    differs), so those modes random-walk apart.  Deep-layer running stats
+    live partly in this gauge (measured: ~20% running_var drift at layer 3
+    after 50 steps) while every gauge-INVARIANT quantity stays tight:
+    per-step losses (<=5e-3 rel for all 50 steps, measured <=2e-3), eval-mode
+    probabilities (measured max ~9e-3-1.7e-2 depending on which XLA:CPU
+    binary the persistent compile cache serves — reduction order changes the
+    chaos realization), and layer-0 statistics once its own bias null-mode
+    is differenced out.  A real semantics bug (wrong BN momentum/eps, wrong
+    AdamW coupling) diverges orders of magnitude past these bounds.
+    """
+    n_steps = 50
+    model, variables = build_ecgcnn(num_labels=LABELS, seed=0)
+    state_dict = flax_to_torch_ecgcnn(jax.device_get(variables))
+    tm = _torch_model()
+    tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()})
+    tm.train()
+    opt = torch.optim.AdamW(tm.parameters(), lr=LR, weight_decay=WD)
+
+    tx = make_optimizer(LR, WD)
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, tx, normalize="none", donate=False)
+
+    # mildly structured inputs so gradients are non-degenerate
+    base = rng.standard_normal((B, T, 12)).astype(np.float32)
+    for i in range(n_steps):
+        x = (base * (1.0 + 0.1 * np.sin(i + 1))
+             + 0.3 * rng.standard_normal((B, T, 12))).astype(np.float32)
+        y = (rng.uniform(size=(B, LABELS)) > 0.6).astype(np.float32)
+
+        opt.zero_grad()
+        loss_t = F.binary_cross_entropy_with_logits(
+            tm(torch.from_numpy(x.transpose(0, 2, 1).copy())), torch.from_numpy(y)
+        )
+        loss_t.backward()
+        opt.step()
+
+        state, loss_j = step(state, {"ecg": x, "y": y, "mask": np.ones(B, np.float32)})
+        # trajectory-level loss agreement at every step (loose: f32 conv
+        # reductions differ between backends and compound)
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=5e-3,
+                                   err_msg=f"step {i}")
+
+    # --- BN running stats after 50 updates ---
+    new_jax = flax_to_torch_ecgcnn(
+        {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)}
+    )
+    new_torch = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+
+    # layer 0 sees fixed inputs, so its stats are gauge-anchored except its
+    # own conv-bias null mode; difference that out and compare tight
+    rm, bias = "backbone.0.net.1.running_mean", "backbone.0.net.0.bias"
+    np.testing.assert_allclose(
+        new_jax[rm] - new_jax[bias], new_torch[rm] - new_torch[bias], atol=2e-3
+    )
+    rv = "backbone.0.net.1.running_var"
+    np.testing.assert_allclose(new_jax[rv], new_torch[rv], rtol=1e-2)
+    # deeper layers: the gauge drift must stay bounded (a semantics bug such
+    # as a wrong momentum or eps shows up orders of magnitude above this)
+    for li in range(1, 4):
+        k = f"backbone.{li}.net.1.running_var"
+        np.testing.assert_allclose(new_jax[k], new_torch[k], rtol=0.5, err_msg=k)
+
+    # --- eval-mode probabilities on a held-out batch (gauge-invariant) ---
+    x_eval = rng.standard_normal((B, T, 12)).astype(np.float32)
+    tm.eval()
+    with torch.no_grad():
+        probs_t = torch.sigmoid(tm(torch.from_numpy(x_eval.transpose(0, 2, 1).copy()))).numpy()
+
+    @jax.jit
+    def eval_probs(variables, x):
+        return jax.nn.sigmoid(model.apply(variables, x, False))
+
+    probs_j = np.asarray(eval_probs(state.variables(), jnp.asarray(x_eval)))
+    np.testing.assert_allclose(probs_j, probs_t, atol=4e-2)
+    assert float(np.abs(probs_j - probs_t).mean()) < 2e-2
