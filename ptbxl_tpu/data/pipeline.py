@@ -15,11 +15,86 @@ dictated by XLA's static-shape compilation model:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+
+class _ParallelRecordReader:
+    """Per-batch parallel decode for datasets WITHOUT an ADC cache.
+
+    The reference overlapped decode with compute via DataLoader worker
+    processes (reference: scripts/03_train_ecg_baseline.py:107-118).  The
+    cache-less fallback here does the equivalent inside the prefetch thread:
+    single-file fmt-16 records (every PTB-XL record) batch-decode through the
+    threaded C++ decoder; anything else goes through a thread pool over the
+    python reader.
+    """
+
+    def __init__(self, ds, n_threads: Optional[int] = None):
+        self.ds = ds
+        self.n_threads = n_threads or min(8, os.cpu_count() or 1)
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._native = None
+        try:
+            from ptbxl_tpu.io import native
+
+            if native.available():
+                self._native = native
+        except Exception:  # no toolchain
+            self._native = None
+        self._hdr: Dict[int, Optional[tuple]] = {}
+
+    def _header(self, idx: int):
+        """Memoized (dat_path, gains, baselines, T, L) or None if not
+        native-decodable."""
+        if idx not in self._hdr:
+            info = None
+            try:
+                from ptbxl_tpu.io.wfdb_io import read_header
+
+                rec = self.ds.record_path(idx)
+                h = read_header(rec)
+                plain = len({s.file_name for s in h.signals}) == 1 and all(
+                    s.fmt == 16 and s.byte_offset == 0
+                    and s.samps_per_frame == 1 and s.skew == 0
+                    for s in h.signals
+                )
+                if plain:
+                    info = (
+                        os.path.join(os.path.dirname(rec), h.signals[0].file_name),
+                        np.array([s.gain for s in h.signals], np.float32),
+                        np.array([s.effective_baseline for s in h.signals], np.float32),
+                        h.n_samples,
+                        h.n_sig,
+                    )
+            except Exception:
+                info = None
+            self._hdr[idx] = info
+        return self._hdr[idx]
+
+    def read(self, idx: np.ndarray) -> np.ndarray:
+        """Decode the batch -> physical float32 [B, leads, T]."""
+        if self._native is not None:
+            infos = [self._header(int(i)) for i in idx]
+            if all(i is not None for i in infos) and len({i[3:] for i in infos}) == 1:
+                t, l = infos[0][3], infos[0][4]
+                adc, ok = self._native.decode_batch_fmt16(
+                    [i[0] for i in infos], t, l, n_threads=self.n_threads
+                )  # [B, L, T] int16
+                if ok.all():
+                    gains = np.stack([i[1] for i in infos])[:, :, None]
+                    bases = np.stack([i[2] for i in infos])[:, :, None]
+                    phys = (adc.astype(np.float32) - bases) / gains
+                    phys[adc == -32768] = np.nan
+                    return phys
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(self.n_threads)
+        return np.stack(list(self._pool.map(self.ds.get_raw, [int(i) for i in idx])))
 
 
 class BatchSource:
@@ -55,6 +130,7 @@ class BatchSource:
                 print(f"[BatchSource] ADC cache unavailable ({e}); falling back to per-record reads")
                 self._cache = None
         self.emit_adc = emit_adc and self._cache is not None
+        self._reader = None if self._cache is not None else _ParallelRecordReader(dataset)
 
     @property
     def steps_per_epoch(self) -> int:
@@ -63,7 +139,7 @@ class BatchSource:
     def _signals(self, idx: np.ndarray) -> np.ndarray:
         if self._cache is not None:
             return self._cache.get_physical(idx)  # [B, L, T]
-        return np.stack([self.ds.get_raw(int(i)) for i in idx], axis=0)
+        return self._reader.read(idx)
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(self.n)

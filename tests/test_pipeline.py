@@ -20,6 +20,34 @@ def test_adc_cache_matches_direct_reads(ptbxl_dir):
         np.testing.assert_allclose(cached, direct, atol=1e-6)
 
 
+def test_cacheless_parallel_reader_matches_cache_path(ptbxl_dir):
+    """The no-cache fallback (threaded native batch decode, or thread-pool
+    python reads) must produce byte-identical batches to the cache path."""
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    bs = 8
+    src_cache = BatchSource(ds, bs, shuffle=False, use_adc_cache=True)
+    src_plain = BatchSource(ds, bs, shuffle=False, use_adc_cache=False)
+    assert src_plain._cache is None and src_plain._reader is not None
+    for b_c, b_p in zip(src_cache.epoch(0), src_plain.epoch(0)):
+        np.testing.assert_allclose(b_p["ecg"], b_c["ecg"], atol=1e-6)
+        np.testing.assert_array_equal(b_p["y"], b_c["y"])
+        np.testing.assert_array_equal(b_p["mask"], b_c["mask"])
+
+
+def test_parallel_reader_python_fallback(ptbxl_dir, monkeypatch):
+    """With the native decoder unavailable, the thread-pool python path must
+    produce the same signals."""
+    from ptbxl_tpu.data import pipeline as pl_mod
+
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    reader = pl_mod._ParallelRecordReader(ds)
+    reader._native = None  # force python path
+    idx = np.array([0, 3, 5])
+    got = reader.read(idx)
+    want = np.stack([ds.get_raw(int(i)) for i in idx])
+    np.testing.assert_allclose(got, want, atol=0)
+
+
 def test_batch_shapes_and_padding(ptbxl_dir):
     ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
     bs = 8

@@ -30,7 +30,7 @@ PAD = 7
 LAYERS = [(5000, 12, 32), (2500, 32, 64), (1250, 64, 128), (625, 128, 256)]
 
 
-def timeit(fn, *args, iters=30, reps=3):
+def timeit(fn, *args, iters=8, reps=2):
     @jax.jit
     def many(*a):
         def body(c, _):
@@ -60,16 +60,19 @@ def make_pallas_layer(t_in, cin, cout, mode, b_tile, compute_dtype=jnp.bfloat16)
         w = w_ref[:].astype(compute_dtype)  # [15*Cin, Cout] or [15, Cin, Cout]
         bias = b_ref[:].astype(jnp.float32)
         for b in range(b_tile):
-            xb = x_ref[b]  # [T+14, Cin] pre-padded
             if mode == "im2col":
-                xc = xb.astype(compute_dtype)
-                y = jnp.concatenate([xc[k : k + t_out, :] for k in range(K)], axis=1)
+                # NB: slices must come from the REF (value-level slice+concat
+                # crashes Mosaic, see docs/ARCHITECTURE.md)
+                y = jnp.concatenate(
+                    [x_ref[b, k : k + t_out, :].astype(compute_dtype) for k in range(K)],
+                    axis=1,
+                )
                 acc = jax.lax.dot_general(
                     y, w, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             else:  # direct
-                xc = xb.astype(compute_dtype)
+                xc = x_ref[b].astype(compute_dtype)
                 wr = w.reshape(K, cin, cout)
                 acc = jnp.zeros((t_out, cout), jnp.float32)
                 for k in range(K):
@@ -129,24 +132,25 @@ def xla_layer(t_in, cin, cout):
 
 def main():
     rng = np.random.default_rng(0)
-    B = 256
+    B = 2048
     print(f"batch={B}  (rec/s numbers are per-layer-only equivalents)")
     total = {"im2col": 0.0, "direct": 0.0, "xla": 0.0}
     for (t_in, cin, cout) in LAYERS:
-        x = jnp.asarray(rng.standard_normal((B, t_in + 2 * PAD, cin)), jnp.float32)
+        x = jax.block_until_ready(jax.jit(
+            lambda: jax.random.normal(jax.random.PRNGKey(1), (B, t_in + 2 * PAD, cin), jnp.float32))())
         w = jnp.asarray(rng.standard_normal((K * cin, cout)) * 0.05, jnp.float32)
         bias = jnp.asarray(rng.standard_normal((cout,)) * 0.01, jnp.float32)
 
         flops = 2 * K * cin * cout * t_in * B
         row = f"L({t_in:5d},{cin:3d}->{cout:3d})"
 
-        for mode, b_tile in [("im2col", 4), ("im2col", 8), ("direct", 4)]:
+        for mode, b_tile in [("im2col", 8), ("im2col", 16), ("direct", 8)]:
             try:
                 fn = make_pallas_layer(t_in, cin, cout, mode, b_tile)
                 dt = timeit(fn, w, bias, x)
                 tf = flops / dt / 1e12
                 key = mode if mode == "direct" else "im2col"
-                if (mode, b_tile) in [("im2col", 8), ("direct", 4)]:
+                if (mode, b_tile) in [("im2col", 16), ("direct", 8)]:
                     total[key] += dt
                 print(f"{row} pallas-{mode}/bt{b_tile}: {dt*1e6:9.1f} us  {tf:6.1f} TF/s")
             except Exception as e:  # noqa: BLE001
