@@ -48,6 +48,9 @@ def _enable_compile_cache():
 
 
 def _build(precision, dtype_name):
+    """dtype_name: 'f32' | 'bf16' (bf16 matmul inputs, f32 activations) |
+    'bf16_act' (bf16 activations end-to-end; accepts bf16 input batches —
+    halves activation HBM traffic, unlocking batch 16384 on one chip)."""
     import jax
     import jax.numpy as jnp
 
@@ -63,12 +66,15 @@ def _build(precision, dtype_name):
         m0 = ECGCNN(feat_dim=256, num_labels=5)
         variables = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 12)))
 
-    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "bf16_act": jnp.bfloat16}[dtype_name]
     model = ECGCNN(feat_dim=256, num_labels=5, precision=precision, dtype=dtype)
 
     @jax.jit
     def forward(variables, x):
-        h = zscore_per_lead_batch(x)
+        # z-score in f32 regardless of wire dtype (mean/var need the range)
+        h = zscore_per_lead_batch(x.astype(jnp.float32))
+        if dtype_name == "bf16_act":
+            h = h.astype(jnp.bfloat16)
         logits = model.apply(variables, h, False)
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
@@ -159,6 +165,38 @@ def _build_pallas(compute_dtype_name):
     return forward, folded
 
 
+def _build_hybrid():
+    """Hybrid: XLA front (zscore+L1+L2) + one fused Pallas kernel for
+    L3+L4+GAP+proj+head (ops/pallas/hybrid_ecgcnn.py).  Measured ~0.6x the
+    plain XLA path at bs 8192 on this backend — kept in the table as the
+    documented negative result (Mosaic drives the MXU in unpacked-bf16 mode,
+    ~98 TF/s class, vs XLA's packed ~197; docs/ARCHITECTURE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.pallas.fused_ecgcnn import fold_bn_into_conv
+    from ptbxl_tpu.ops.pallas.hybrid_ecgcnn import hybrid_ecgcnn_logits
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    if os.path.exists(ckpt):
+        variables, _ = load_npz(ckpt)
+    else:
+        m0 = ECGCNN(feat_dim=256, num_labels=5)
+        variables = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 12)))
+    folded = fold_bn_into_conv(variables)
+    n_blocks = int(folded.pop("n_blocks"))
+
+    def forward(folded_, x):
+        return jax.nn.sigmoid(
+            hybrid_ecgcnn_logits(x, folded_, n_blocks, block_b=16)
+        )
+
+    return forward, folded
+
+
 def bench_inference(full=False):
     import jax
 
@@ -169,7 +207,9 @@ def bench_inference(full=False):
         # (path, precision, dtype, batch sizes)
         ("xla", "highest", "f32", [512, 2048]),
         ("xla", None, "bf16", [512, 2048, 8192]),
+        ("xla", None, "bf16_act", [8192, 16384]),
         ("pallas", None, "f32", [512, 2048]),
+        ("hybrid", None, "bf16", [8192]),
     ]
 
     best = None
@@ -177,6 +217,8 @@ def bench_inference(full=False):
         try:
             if path == "pallas":
                 forward, variables = _build_pallas(dtype_name)
+            elif path == "hybrid":
+                forward, variables = _build_hybrid()
             else:
                 forward, variables = _build(precision, dtype_name)
             ok, worst = _parity_check(forward, variables, f32_forward, f32_vars)
@@ -186,10 +228,13 @@ def bench_inference(full=False):
             continue
         for bs in batch_sizes:
             # synthesize the batch ON DEVICE: content is irrelevant to
-            # throughput and the dev tunnel's H2D is slow (~150 MB/s)
+            # throughput and the dev tunnel's H2D is slow (~150 MB/s).
+            # bf16_act also ships a bf16 wire batch (halved HBM footprint).
+            import jax.numpy as _jnp
+            wire_dtype = _jnp.bfloat16 if dtype_name == "bf16_act" else jnp_dtype32()
             batch = jax.block_until_ready(
-                jax.jit(lambda: jax.random.normal(
-                    jax.random.PRNGKey(0), (bs, 5000, 12), jnp_dtype32()))()
+                jax.jit(lambda d=wire_dtype: jax.random.normal(
+                    jax.random.PRNGKey(0), (bs, 5000, 12), d))()
             )
             try:
                 rps = _throughput(forward, variables, batch)
@@ -264,7 +309,28 @@ def bench_demo_latency(n=20):
         np.asarray(many(x))
         ts.append(time.perf_counter() - t0)
     onchip = float(np.median(ts) / iters * 1000.0)
-    return p50_dispatch, onchip
+
+    # all-5-classes CAMs in one pass (features computed once, stacked one-hot
+    # cotangents through a single vmapped vjp — see interpret/grad_cam.py)
+    inner_multi = cam_fn._multi_fn
+    all_classes = jnp.arange(5, dtype=jnp.int32)
+
+    @jax.jit
+    def many_multi(x):
+        def body(c, _):
+            probs, cams = inner_multi(x * (1.0 + c * 1e-30), all_classes)
+            return jnp.sum(cams).astype(jnp.float32), jnp.sum(probs)
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    np.asarray(many_multi(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(many_multi(x))
+        ts.append(time.perf_counter() - t0)
+    onchip_5class = float(np.median(ts) / iters * 1000.0)
+    return p50_dispatch, onchip, onchip_5class
 
 
 def bench_train_step(batch_size=64, iters=15):
@@ -336,7 +402,7 @@ def bench_pipeline_e2e(n_records=512, batch_size=256, epochs=1):
     """End-to-end input pipeline: int16 memmap cache -> threaded prefetch ->
     device conversion + z-score + forward.  Includes per-batch dispatch
     latency (tunnel-dominated in this dev setup) — the honest serving number
-    for THIS environment; see the config table for pure device throughput."""
+    for THIS environment; see bench_pipeline_stages for the decomposition."""
     import tempfile
 
     import jax
@@ -369,6 +435,82 @@ def bench_pipeline_e2e(n_records=512, batch_size=256, epochs=1):
     return n_done / (time.perf_counter() - t0)
 
 
+def bench_pipeline_stages(n_records=2048, batch_size=256):
+    """Stage-by-stage input-pipeline throughput (records/s per stage).
+
+    The e2e number above is tunnel-bound in this environment, so the
+    first-class pipeline metric is the decomposition:
+
+      host_cold   raw .dat bytes -> physical batches, cache build INCLUDED
+                  (one-time cost a production host pays once per dataset)
+      host_warm   int16 memmap -> assembled float32 batches (steady state)
+      host_nocache  per-batch threaded C++ decode, no memmap cache
+      h2d         host batch -> device array (tunnel-limited here; on a
+                  production host PCIe/DMA makes this >10x faster)
+      device      on-device convert + z-score + forward (from the config
+                  table's best row)
+
+    Projected production e2e = min(host_warm, device); the tunnel-bound
+    measured e2e is reported separately by bench_pipeline_e2e.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from fixtures.synthetic_ptbxl import make_synthetic_ptbxl
+
+    from ptbxl_tpu.data import PTBXLDataset
+    from ptbxl_tpu.data.pipeline import BatchSource
+
+    root = os.path.join(tempfile.gettempdir(), f"ptbxl_bench_{n_records}")
+    if not os.path.exists(os.path.join(root, "ptbxl_database.csv")):
+        make_synthetic_ptbxl(root, n_records=n_records, n_samples=5000, seed=7)
+    ds = PTBXLDataset(root, "train", ["MI", "STTC", "HYP", "CD", "NORM"])
+    n = len(ds)
+    out = {}
+
+    # host_cold: wipe the cache, time build + one pass of batch assembly
+    cache_dir = os.path.join(root, ".ptbxl_tpu_cache")
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    src = BatchSource(ds, batch_size, shuffle=False, emit_adc=True)
+    for b in src.epoch(0):
+        pass
+    out["host_cold"] = n / (time.perf_counter() - t0)
+
+    # host_warm: steady-state epoch from the memmap (page cache warm)
+    for _ in src.epoch(0):
+        pass
+    t0 = time.perf_counter()
+    for b in src.epoch(1):
+        pass
+    out["host_warm"] = n / (time.perf_counter() - t0)
+
+    # host_nocache: threaded per-batch decode path
+    src2 = BatchSource(ds, batch_size, shuffle=False, use_adc_cache=False)
+    for _ in src2.epoch(0):
+        pass
+    t0 = time.perf_counter()
+    for b in src2.epoch(1):
+        pass
+    out["host_nocache"] = n / (time.perf_counter() - t0)
+
+    # h2d: ship int16 ADC batches to the device
+    batches = list(src.epoch(0))
+    jax.block_until_ready(jax.device_put(batches[0]["adc_lt"]))
+    t0 = time.perf_counter()
+    moved = 0
+    for b in batches:
+        jax.block_until_ready(jax.device_put(b["adc_lt"]))
+        moved += b["adc_lt"].shape[0]
+    dt = time.perf_counter() - t0
+    out["h2d"] = moved / dt
+    out["h2d_MBps"] = moved * batches[0]["adc_lt"][0].nbytes / dt / 1e6
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--full", action="store_true", help="detailed report")
@@ -387,6 +529,20 @@ def main():
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
         print(f"# train step (bs=256): {bench_train_step(256):.1f} rec/s", file=sys.stderr)
         try:
+            stages = bench_pipeline_stages()
+            device_rps = best["rps"] if best else float("nan")
+            proj = min(stages["host_warm"], device_rps)
+            print("# input pipeline stages (rec/s): "
+                  f"host_cold {stages['host_cold']:.0f} | "
+                  f"host_warm {stages['host_warm']:.0f} | "
+                  f"host_nocache {stages['host_nocache']:.0f} | "
+                  f"h2d {stages['h2d']:.0f} ({stages['h2d_MBps']:.0f} MB/s, tunnel-bound here) | "
+                  f"device {device_rps:.0f}", file=sys.stderr)
+            print(f"# projected production e2e = min(host_warm, device) = {proj:.0f} rec/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# pipeline stage bench failed: {e}", file=sys.stderr)
+        try:
             # NOTE: in this dev setup the tunnel caps H2D at ~150 MB/s with
             # ~50 ms per dispatch, so this number measures the tunnel, not
             # the input pipeline; tracked for regressions only.
@@ -396,9 +552,10 @@ def main():
             print(f"# e2e pipeline failed: {e}", file=sys.stderr)
         lat = bench_demo_latency()
         if lat is not None:
-            p50, onchip = lat
+            p50, onchip, onchip5 = lat
             print(f"# demo latency (forward + Grad-CAM, 1 record): "
-                  f"p50 {p50:.2f} ms dispatch-inclusive, {onchip:.2f} ms on-chip",
+                  f"p50 {p50:.2f} ms dispatch-inclusive, {onchip:.2f} ms on-chip, "
+                  f"{onchip5:.2f} ms on-chip for ALL 5 classes (one-pass vjp)",
                   file=sys.stderr)
 
     value = best["rps"] if best else 0.0

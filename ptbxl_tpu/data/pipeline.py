@@ -158,9 +158,9 @@ class BatchSource:
             }
             if self.emit_adc:
                 c = self._cache
-                batch["adc"] = np.ascontiguousarray(
-                    np.asarray(c._adc[np.asarray(idx)]).transpose(0, 2, 1)
-                )  # [B, T, L] int16
+                # ship the memmap's native [B, L, T] layout untouched: the
+                # host does ONLY the gather; transpose+convert run on device
+                batch["adc_lt"] = np.asarray(c._adc[np.asarray(idx)])
                 batch["gain"] = c._gain[np.asarray(idx)]
                 batch["baseline"] = c._baseline[np.asarray(idx)]
             else:
@@ -196,12 +196,12 @@ def device_prefetch(
             dev = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         else:
             dev = {k: jax.device_put(v) for k, v in batch.items()}
-        if "adc" in dev:  # int16 transfer path: convert to physical on device
+        if "adc_lt" in dev:  # int16 transfer path: transpose+convert on device
             if convert is None:
-                from ptbxl_tpu.ops.adc_convert import adc_to_physical_batch
+                from ptbxl_tpu.ops.adc_convert import adc_lt_to_physical_batch
 
-                convert = jax.jit(adc_to_physical_batch)
-            dev["ecg"] = convert(dev.pop("adc"), dev.pop("gain"), dev.pop("baseline"))
+                convert = jax.jit(adc_lt_to_physical_batch)
+            dev["ecg"] = convert(dev.pop("adc_lt"), dev.pop("gain"), dev.pop("baseline"))
         return dev
 
     error = []

@@ -32,8 +32,14 @@ from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
 from ptbxl_tpu.models.params_io import load_checkpoint
 from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
 
-# crossover measured on v5e (bench.py): pallas wins below ~1k records/chunk
-_PALLAS_MAX_BATCH = 512
+# Engine crossover: the fused single-kernel path wins per-CALL serving below
+# this chunk size (one launch vs ~10, everything VMEM-resident); the XLA path
+# wins sustained large-batch throughput (packed-bf16 MXU — see
+# docs/ARCHITECTURE.md).  Measured on v5e via bench.py; override per
+# deployment with PTBXL_TPU_PALLAS_MAX_BATCH after re-running the bench.
+import os as _os
+
+_PALLAS_MAX_BATCH = int(_os.environ.get("PTBXL_TPU_PALLAS_MAX_BATCH", "512"))
 
 
 class Predictor:

@@ -23,3 +23,13 @@ def adc_to_physical_batch(
     a = adc.astype(jnp.float32)
     phys = (a - baseline[:, None, :]) / gain[:, None, :]
     return jnp.where(adc == _SENTINEL, jnp.nan, phys)
+
+
+def adc_lt_to_physical_batch(
+    adc_lt: jnp.ndarray, gain: jnp.ndarray, baseline: jnp.ndarray
+) -> jnp.ndarray:
+    """adc [B, C, T] int16 (the memmap cache's native layout, shipped without
+    any host-side transpose) -> physical float32 [B, T, C].  The transpose
+    rides the device where it is a cheap relayout fused with the conversion."""
+    adc = jnp.transpose(adc_lt, (0, 2, 1))
+    return adc_to_physical_batch(adc, gain, baseline)

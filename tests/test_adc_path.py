@@ -32,7 +32,7 @@ def test_emit_adc_pipeline_equals_f32_pipeline(ptbxl_dir):
     )
     assert len(f32_batches) == len(adc_batches)
     for a, b in zip(f32_batches, adc_batches):
-        assert "ecg" in b and "adc" not in b
+        assert "ecg" in b and "adc_lt" not in b
         np.testing.assert_allclose(np.asarray(a["ecg"]), np.asarray(b["ecg"]), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(a["y"]), np.asarray(b["y"]))
 
@@ -41,5 +41,7 @@ def test_emit_adc_halves_host_bytes(ptbxl_dir):
     ds = PTBXLDataset(ptbxl_dir, "val", CLASSES)
     src = BatchSource(ds, 4, False, emit_adc=True)
     batch = next(iter(src.epoch(0)))
-    assert batch["adc"].dtype == np.int16
-    assert batch["adc"].nbytes * 2 == batch["adc"].size * 4  # vs f32
+    assert batch["adc_lt"].dtype == np.int16
+    assert batch["adc_lt"].nbytes * 2 == batch["adc_lt"].size * 4  # vs f32
+    # shipped in the memmap's native [B, L, T] layout: no host transpose
+    assert batch["adc_lt"].shape[1] == 12

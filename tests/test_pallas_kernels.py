@@ -59,6 +59,38 @@ def test_fused_forward_odd_pool_floor(small_model, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_hybrid_forward_matches_model(small_model, rng):
+    """Hybrid path (XLA front + fused deep-conv/tail Pallas kernel)."""
+    from ptbxl_tpu.ops.pallas.hybrid_ecgcnn import hybrid_ecgcnn_probs
+
+    model, variables, folded = small_model
+    x = jnp.asarray(rng.standard_normal((3, 512, 12)).astype(np.float32) * 2)
+    want = jax.nn.sigmoid(model.apply(variables, zscore_per_lead_batch(x), False))
+    got = hybrid_ecgcnn_probs(
+        x, folded, compute_dtype=jnp.float32, interpret=True, block_b=2
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # bf16 compute stays within the bench parity gate
+    got16 = hybrid_ecgcnn_probs(
+        x, folded, compute_dtype=jnp.bfloat16, interpret=True, block_b=2
+    )
+    assert float(np.abs(np.asarray(got16) - np.asarray(want)).max()) < 5e-3
+
+
+def test_hybrid_batch_padding(small_model, rng):
+    """Batch not divisible by block_b: padded rows must not leak."""
+    from ptbxl_tpu.ops.pallas.hybrid_ecgcnn import hybrid_ecgcnn_probs
+
+    model, variables, folded = small_model
+    x = jnp.asarray(rng.standard_normal((5, 512, 12)).astype(np.float32))
+    got = hybrid_ecgcnn_probs(
+        x, folded, compute_dtype=jnp.float32, interpret=True, block_b=4
+    )
+    want = jax.nn.sigmoid(model.apply(variables, zscore_per_lead_batch(x), False))
+    assert got.shape == (5, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_bn_folding_against_golden_checkpoint():
     """Folded weights on the real reference checkpoint reproduce golden probs."""
     import glob
