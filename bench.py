@@ -333,17 +333,21 @@ def bench_demo_latency(n=20):
     return p50_dispatch, onchip, onchip_5class
 
 
-def bench_train_step(batch_size=64, iters=15):
+def bench_train_step(batch_size=64, iters=15, precision="highest", dtype_name="f32"):
     """Sustained training throughput: iters full steps chained in ONE jit
     (lax.scan over the train step), so the tunnel's per-dispatch latency is
-    amortized like the inference measurement."""
+    amortized like the inference measurement.
+
+    dtype_name='bf16' runs the bf16-activation configuration whose
+    convergence is gated by tests/test_learning.py[bf16]."""
     import jax
     import jax.numpy as jnp
 
     from ptbxl_tpu.models.factory import build_ecgcnn
     from ptbxl_tpu.training.train_state import create_train_state, make_optimizer
 
-    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    model, variables = build_ecgcnn(num_labels=5, seed=0, precision=precision, dtype=dtype)
     tx = make_optimizer(1.5e-3, 1e-4)
     state = create_train_state(model, variables, tx)
     # un-jitted inner step: the scan below is jitted as a whole
@@ -527,7 +531,12 @@ def main():
                   f"bs={r['batch']:>5} -> {r['rps']:>10.1f} rec/s "
                   f"(prob_err={r['prob_err']:.2e}, "
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
-        print(f"# train step (bs=256): {bench_train_step(256):.1f} rec/s", file=sys.stderr)
+        print(f"# train step (bs=256, f32 parity): {bench_train_step(256):.1f} rec/s",
+              file=sys.stderr)
+        print("# train step (bs=256, bf16 activations, convergence-gated by "
+              f"test_learning[bf16]): "
+              f"{bench_train_step(256, precision=None, dtype_name='bf16'):.1f} rec/s",
+              file=sys.stderr)
         try:
             stages = bench_pipeline_stages()
             device_rps = best["rps"] if best else float("nan")

@@ -11,6 +11,23 @@ from ptbxl_tpu.models.ecg_cnn import ECGCNN
 from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
 
 
+def dtype_from_config(name) -> jnp.dtype:
+    """Map the ``train.dtype`` config string to a jnp dtype.
+
+    'bfloat16' selects the bf16-activation training/inference configuration
+    (f32 parameters and optimizer state); its convergence is gated by
+    tests/test_learning.py[bf16].
+    """
+    table = {
+        "float32": jnp.float32, "f32": jnp.float32,
+        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+    }
+    key = str(name).lower()
+    if key not in table:
+        raise ValueError(f"train.dtype must be one of {sorted(table)}, got {name!r}")
+    return table[key]
+
+
 def build_ecgcnn(
     in_leads: int = 12,
     feat_dim: int = 256,
@@ -35,6 +52,7 @@ def build_multimodal(
     num_labels: int = 5,
     seed: int = 42,
     precision: Optional[str] = "highest",
+    dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[ECGMultimodal, Dict]:
     model = ECGMultimodal(
         feat_dim=ecg_feat_dim,
@@ -42,6 +60,7 @@ def build_multimodal(
         num_labels=num_labels,
         in_leads=in_leads,
         precision=precision,
+        dtype=dtype,
     )
     variables = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, 64, in_leads)), jnp.zeros((1, 5))

@@ -20,7 +20,7 @@ import jax  # noqa: E402
 
 from ptbxl_tpu import config as C  # noqa: E402
 from ptbxl_tpu.data import PTBXLDataset  # noqa: E402
-from ptbxl_tpu.models.factory import build_ecgcnn  # noqa: E402
+from ptbxl_tpu.models.factory import build_ecgcnn, dtype_from_config  # noqa: E402
 from ptbxl_tpu.training.trainer import TrainRun, train  # noqa: E402
 from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
 
@@ -65,6 +65,7 @@ def main(args):
         num_labels=len(classes),
         seed=C.get_seed(cfg),
         precision=train_cfg.get("precision", "highest"),
+        dtype=dtype_from_config(train_cfg.get("dtype", "float32")),
     )
 
     ckpt_dir = os.path.join(out_dir, "ckpts")

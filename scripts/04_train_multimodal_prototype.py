@@ -19,7 +19,7 @@ import jax  # noqa: E402
 
 from ptbxl_tpu import config as C  # noqa: E402
 from ptbxl_tpu.data import PTBXLECGMultimodalDataset  # noqa: E402
-from ptbxl_tpu.models.factory import build_multimodal, merge_backbone  # noqa: E402
+from ptbxl_tpu.models.factory import build_multimodal, dtype_from_config, merge_backbone  # noqa: E402
 from ptbxl_tpu.models.params_io import load_checkpoint  # noqa: E402
 from ptbxl_tpu.training.trainer import TrainRun, train  # noqa: E402
 from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
@@ -70,6 +70,7 @@ def main(args):
         num_labels=len(classes),
         seed=C.get_seed(cfg),
         precision=train_cfg.get("precision", "highest"),
+        dtype=dtype_from_config(train_cfg.get("dtype", "float32")),
     )
 
     # Optional warm start of the ECG encoder (reference: scripts/04:149-156)

@@ -19,7 +19,7 @@ import jax  # noqa: E402
 
 from ptbxl_tpu import config as C  # noqa: E402
 from ptbxl_tpu.data import PTBXLAFDataset  # noqa: E402
-from ptbxl_tpu.models.factory import build_ecgcnn  # noqa: E402
+from ptbxl_tpu.models.factory import build_ecgcnn, dtype_from_config  # noqa: E402
 from ptbxl_tpu.training.trainer import TrainRun, train  # noqa: E402
 from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
 
@@ -63,6 +63,7 @@ def main(args):
         num_labels=1,  # AF vs non-AF
         seed=C.get_seed(cfg),
         precision=train_cfg.get("precision", "highest"),
+        dtype=dtype_from_config(train_cfg.get("dtype", "float32")),
     )
 
     run = TrainRun(

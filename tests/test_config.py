@@ -58,3 +58,16 @@ def test_reference_config_files_parse():
         if os.path.exists(p):
             cfg = C.load_config(p)
             assert "data" in cfg
+
+
+def test_dtype_from_config():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from ptbxl_tpu.models.factory import dtype_from_config
+
+    assert dtype_from_config("float32") is jnp.float32
+    assert dtype_from_config("bfloat16") is jnp.bfloat16
+    assert dtype_from_config("BF16") is jnp.bfloat16
+    with _pytest.raises(ValueError, match="train.dtype"):
+        dtype_from_config("fp8")
