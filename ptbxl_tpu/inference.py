@@ -57,22 +57,36 @@ class Predictor:
         chunk_size: int = 512,
         normalize: bool = True,
         data_parallel: bool = False,
+        precision: str = "highest",  # 'highest' (f32 parity) | 'default' (bf16 MXU)
     ):
         """``data_parallel=True`` shards each chunk's batch axis across all
         devices of a 1-D mesh (GSPMD inserts the collectives); params are
-        replicated.  chunk_size must then be divisible by the device count."""
+        replicated.  chunk_size must then be divisible by the device count.
+
+        ``precision='default'`` runs the XLA engine with bf16 activations
+        (~4.5x the parity path's throughput on v5e; probabilities within
+        ~1.5e-3 of f32 — the same configuration bench.py gates at <=5e-3)."""
         self.variables = variables
         self.classes = classes
         self.chunk_size = chunk_size
         self.normalize = normalize
         self.engine = engine
         self.arch = arch
+        import jax.numpy as _jnp
+
+        model_precision = None if precision == "default" else precision
+        model_dtype = _jnp.bfloat16 if precision == "default" else _jnp.float32
         if arch == "multimodal":
             self.model = ECGMultimodal(
-                feat_dim=feat_dim, num_labels=num_labels, demo_hidden_dim=demo_hidden_dim
+                feat_dim=feat_dim, num_labels=num_labels,
+                demo_hidden_dim=demo_hidden_dim,
+                precision=model_precision, dtype=model_dtype,
             )
         else:
-            self.model = ECGCNN(feat_dim=feat_dim, num_labels=num_labels)
+            self.model = ECGCNN(
+                feat_dim=feat_dim, num_labels=num_labels,
+                precision=model_precision, dtype=model_dtype,
+            )
 
         self._batch_sharding = None
         if data_parallel:
@@ -112,14 +126,16 @@ class Predictor:
             @jax.jit
             def _xla_forward(variables, x, d):
                 h = zscore_per_lead_batch(x) if self.normalize else x
-                return jax.nn.sigmoid(self.model.apply(variables, h, d, False))
+                logits = self.model.apply(variables, h, d, False)
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
 
         else:
 
             @jax.jit
             def _xla_forward(variables, x):
                 h = zscore_per_lead_batch(x) if self.normalize else x
-                return jax.nn.sigmoid(self.model.apply(variables, h, False))
+                logits = self.model.apply(variables, h, False)
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
 
         self._xla_forward = _xla_forward
 

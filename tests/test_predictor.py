@@ -89,3 +89,23 @@ def test_data_parallel_matches_single_device(predictor):
     sigs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
     dp = Predictor.from_checkpoint(CKPT, engine="xla", data_parallel=True, chunk_size=8)
     np.testing.assert_allclose(dp(sigs), predictor(sigs), atol=1e-5)
+
+
+def test_predictor_default_precision_close_to_parity():
+    """precision='default' (bf16 serving) stays within the bench gate."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(here, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    from ptbxl_tpu.inference import Predictor
+
+    p_hi = Predictor.from_checkpoint(ckpt, engine="xla")
+    p_lo = Predictor.from_checkpoint(ckpt, engine="xla", precision="default")
+    files = sorted(glob.glob(os.path.join(here, "data/demo/single/*.npz")))[:3]
+    for f in files:
+        z = np.load(f, allow_pickle=True)
+        hi = p_hi(z["ecg"][None])
+        lo = p_lo(z["ecg"][None])
+        assert hi.dtype == np.float32 and lo.dtype == np.float32
+        assert np.abs(hi - lo).max() < 5e-3

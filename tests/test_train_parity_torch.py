@@ -95,7 +95,10 @@ def test_one_adamw_step_matches_torch(rng):
     batch = {"ecg": x, "y": y, "mask": np.ones(B, np.float32)}
     state, loss_j = step(state, batch)
 
-    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-5)
+    # rtol headroom over pure float noise: the persistent XLA:CPU compile
+    # cache can serve binaries with different reduction orders run-to-run
+    # (see the 50-step test's docstring); a semantics bug shows up ~1e-2+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
 
     new_jax = flax_to_torch_ecgcnn(
         {"params": jax.device_get(state.params), "batch_stats": jax.device_get(state.batch_stats)}
@@ -120,8 +123,9 @@ def test_one_adamw_step_matches_torch(rng):
         else:
             # parameters after one AdamW step: tight agreement (atol covers
             # isolated near-zero-gradient weights where Adam amplifies noise;
-            # 1e-4 is 10x below the lr=1e-3 step size)
-            np.testing.assert_allclose(new_jax[k], new_torch[k], rtol=3e-4, atol=1e-4, err_msg=k)
+            # 2e-4 is 5x below the lr=1e-3 step size, and reduction-order
+            # variance between cached XLA:CPU binaries sits well under it)
+            np.testing.assert_allclose(new_jax[k], new_torch[k], rtol=5e-4, atol=2e-4, err_msg=k)
 
 
 @pytest.mark.slow
