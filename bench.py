@@ -140,7 +140,7 @@ def _build_pallas(compute_dtype_name):
 
     from ptbxl_tpu.models.ecg_cnn import ECGCNN
     from ptbxl_tpu.models.params_io import load_npz
-    from ptbxl_tpu.ops.pallas.fused_ecgcnn import fold_bn_into_conv, fused_ecgcnn_probs
+    from ptbxl_tpu.ops.pallas.fused_ecgcnn import fold_bn_into_conv
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")

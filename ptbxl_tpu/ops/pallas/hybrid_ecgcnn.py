@@ -27,7 +27,7 @@ the f32 parity path on the demo pack in bench.py and in unit tests
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ throughput of:
 Timing: scan-chained iterations inside one jit (amortizes the dev tunnel).
 """
 
-import functools
 import time
 
 import numpy as np

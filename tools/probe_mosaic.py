@@ -20,7 +20,6 @@ rough on-chip time from scan-chaining where meaningful.
 """
 
 import sys
-import time
 import traceback
 
 import numpy as np
