@@ -71,3 +71,23 @@ def test_dtype_from_config():
     assert dtype_from_config("BF16") is jnp.bfloat16
     with _pytest.raises(ValueError, match="train.dtype"):
         dtype_from_config("fp8")
+
+
+def test_host_devices_env(tmp_path):
+    """PTBXL_TPU_HOST_DEVICES exposes N virtual CPU devices for the CLIs."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update(PTBXL_TPU_PLATFORM="cpu", PTBXL_TPU_HOST_DEVICES="4")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from ptbxl_tpu.utils.platform import apply_platform_env;"
+         "apply_platform_env();"
+         "import jax; print(len(jax.devices()), jax.devices()[0].platform)"],
+        env=env, capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.split()[-2:] == ["4", "cpu"]
