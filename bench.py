@@ -251,6 +251,49 @@ def bench_inference(full=False):
     return best, results
 
 
+def bench_multimodal(batch_size=8192, iters=10):
+    """Multimodal (FiLM) model throughput, bf16 activations."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz")
+    if not os.path.exists(ckpt):
+        return None
+    variables, _ = load_npz(ckpt)
+    model = ECGMultimodal(feat_dim=256, num_labels=5, precision=None, dtype=jnp.bfloat16)
+
+    def forward(variables, x, d):
+        h = zscore_per_lead_batch(x.astype(jnp.float32)).astype(jnp.bfloat16)
+        logits = model.apply(variables, h, d, False)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    x = jax.block_until_ready(jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(0), (batch_size, 5000, 12), jnp.bfloat16))())
+    d = jax.block_until_ready(jax.jit(lambda: jax.random.uniform(
+        jax.random.PRNGKey(1), (batch_size, 5)))())
+
+    @jax.jit
+    def many(variables, x, d):
+        def body(c, _):
+            probs = forward(variables, x * (1.0 + c * 1e-30), d)
+            return jnp.sum(probs).astype(jnp.float32), jnp.sum(probs)
+        _, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return sums
+
+    np.asarray(many(variables, x, d))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(many(variables, x, d))
+        ts.append(time.perf_counter() - t0)
+    return batch_size * iters / float(np.median(ts))
+
+
 def bench_demo_latency(n=20):
     """Demo-path latency (forward + Grad-CAM, one record).
 
@@ -531,6 +574,10 @@ def main():
                   f"bs={r['batch']:>5} -> {r['rps']:>10.1f} rec/s "
                   f"(prob_err={r['prob_err']:.2e}, "
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
+        mm = bench_multimodal()
+        if mm is not None:
+            print(f"# multimodal (FiLM) inference bf16_act bs=8192: {mm:.1f} rec/s",
+                  file=sys.stderr)
         print(f"# train step (bs=256, f32 parity): {bench_train_step(256):.1f} rec/s",
               file=sys.stderr)
         print("# train step (bs=256, bf16 activations, convergence-gated by "
