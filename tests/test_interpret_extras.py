@@ -102,3 +102,20 @@ def test_trace_noop_without_dir():
 
     with trace(None):
         pass  # must not require a profiler session
+
+
+def test_profiler_trace_writes_artifacts(tmp_path, monkeypatch):
+    """PTBXL_TPU_TRACE=<dir> produces a loadable jax.profiler trace."""
+    import glob as _glob
+
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.utils.profiling import trace
+
+    d = str(tmp_path / "trace")
+    monkeypatch.setenv("PTBXL_TPU_TRACE", d)
+    with trace():
+        x = jnp.ones((64, 64))
+        (x @ x).block_until_ready()
+    files = _glob.glob(os.path.join(d, "**", "*"), recursive=True)
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in files), files
