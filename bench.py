@@ -272,6 +272,25 @@ def bench_multimodal(batch_size=8192, iters=10):
         logits = model.apply(variables, h, d, False)
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
+    # parity gate vs the f32 multimodal path on the bundled multimodal demos
+    here = os.path.dirname(os.path.abspath(__file__))
+    demo_files = sorted(glob.glob(os.path.join(here, "data/demo/multimodal/*.npz")))
+    if demo_files:
+        model_f32 = ECGMultimodal(feat_dim=256, num_labels=5, precision="highest")
+        worst = 0.0
+        for f in demo_files:
+            z = np.load(f, allow_pickle=True)
+            xd = jnp.asarray(z["ecg"].T[None], jnp.float32)
+            dd = jnp.asarray(z["demo"][None], jnp.float32)
+            p = np.asarray(forward(variables, xd, dd))
+            h = zscore_per_lead_batch(xd)
+            pr = np.asarray(jax.nn.sigmoid(model_f32.apply(variables, h, dd, False)))
+            worst = max(worst, float(np.abs(p - pr).max()))
+        if worst > 5e-3:
+            print(f"# multimodal bf16 parity FAIL ({worst:.2e}) — number withheld",
+                  file=sys.stderr)
+            return None
+
     x = jax.block_until_ready(jax.jit(lambda: jax.random.normal(
         jax.random.PRNGKey(0), (batch_size, 5000, 12), jnp.bfloat16))())
     d = jax.block_until_ready(jax.jit(lambda: jax.random.uniform(
