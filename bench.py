@@ -203,14 +203,22 @@ def bench_inference(full=False):
     results = []
     f32_forward, f32_vars = _build("highest", "f32")
 
-    configs = [
-        # (path, precision, dtype, batch sizes)
-        ("xla", "highest", "f32", [512, 2048]),
-        ("xla", None, "bf16", [512, 2048, 8192]),
-        ("xla", None, "bf16_act", [8192, 16384]),
-        ("pallas", None, "f32", [512, 2048]),
-        ("hybrid", None, "bf16", [8192]),
-    ]
+    if full:
+        configs = [
+            # (path, precision, dtype, batch sizes)
+            ("xla", "highest", "f32", [512, 2048]),
+            ("xla", None, "bf16", [512, 2048, 8192]),
+            ("xla", None, "bf16_act", [8192, 16384]),
+            ("pallas", None, "f32", [512, 2048]),
+            ("hybrid", None, "bf16", [8192]),
+        ]
+    else:
+        # headline mode: only the configurations that can win (the full
+        # table, incl. the documented Pallas/hybrid rows, is under --full)
+        configs = [
+            ("xla", None, "bf16", [8192]),
+            ("xla", None, "bf16_act", [8192, 16384]),
+        ]
 
     best = None
     for path, precision, dtype_name, batch_sizes in configs:
