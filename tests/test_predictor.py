@@ -109,3 +109,30 @@ def test_predictor_default_precision_close_to_parity():
         lo = p_lo(z["ecg"][None])
         assert hi.dtype == np.float32 and lo.dtype == np.float32
         assert np.abs(hi - lo).max() < 5e-3
+
+
+def test_predictor_default_precision_multimodal_and_af():
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from ptbxl_tpu.inference import Predictor
+
+    mm_ckpt = os.path.join(here, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz")
+    p_hi = Predictor.from_checkpoint(mm_ckpt, arch="multimodal", engine="xla")
+    p_lo = Predictor.from_checkpoint(mm_ckpt, arch="multimodal", engine="xla",
+                                     precision="default")
+    for f in sorted(glob.glob(os.path.join(here, "data/demo/multimodal/*.npz")))[:2]:
+        z = np.load(f, allow_pickle=True)
+        hi = p_hi(z["ecg"][None], demo=z["demo"][None])
+        lo = p_lo(z["ecg"][None], demo=z["demo"][None])
+        assert np.abs(hi - lo).max() < 5e-3
+
+    af_ckpt = os.path.join(here, "outputs/af_binary/ckpts/af_binary_best.npz")
+    if os.path.exists(af_ckpt):
+        a_hi = Predictor.from_checkpoint(af_ckpt, num_labels=1, engine="xla")
+        a_lo = Predictor.from_checkpoint(af_ckpt, num_labels=1, engine="xla",
+                                         precision="default")
+        z = np.load(sorted(glob.glob(os.path.join(here, "data/demo/single/*.npz")))[0],
+                    allow_pickle=True)
+        assert np.abs(a_hi(z["ecg"][None]) - a_lo(z["ecg"][None])).max() < 5e-3
