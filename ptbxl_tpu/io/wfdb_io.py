@@ -7,8 +7,8 @@ needs — and a bit more — directly:
 
 * header (.hea) parsing: record line + signal lines, including gain/baseline/
   units syntax ``gain(baseline)/units``
-* signal (.dat) decoding for formats 16 (PTB-XL), 24, 32, 80, and 212
-  (including the odd-total-sample-count 212 tail)
+* signal (.dat) decoding for ALL standard WFDB formats: 8, 16 (PTB-XL), 24,
+  32, 61, 80, 160, 212 (including the odd-total-sample-count tail), 310, 311
 * multi-sample frames (``samps_per_frame``, smoothed by frame averaging like
   ``wfdb.rdsamp``'s default ``smooth_frames=True``) and per-signal ``skew``
 * physical conversion ``(adc - baseline) / gain`` with WFDB missing-sample
@@ -20,9 +20,13 @@ Support matrix (vs the full WFDB spec / wfdb-python):
 =================  =========================================================
 Capability         Status
 =================  =========================================================
-fmt 16/32/80/212   full decode incl. missing-sample sentinels
+fmt 16/61/160      full decode incl. missing-sample sentinels (LE/BE/offset)
+fmt 32/80/212      full decode incl. missing-sample sentinels
 fmt 24             full decode (3-byte little-endian two's complement)
-fmt 8/160/310/311  NOT supported -> NotImplementedError
+fmt 310/311        full decode (10-bit packed, both packings); sentinel -512
+fmt 8              full decode (first differences + header init_value); the
+                   format has no amplitude sentinel, so no NaN mapping
+other fmt values   NotImplementedError
 samps_per_frame    supported, frame-averaged (wfdb smooth_frames=True);
                    a frame containing a missing sentinel reads as NaN
 skew               supported; samples shifted earlier by ``skew`` frames,
@@ -48,8 +52,19 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-# WFDB missing-sample sentinels per format (most negative representable value)
-_MISSING = {16: -32768, 32: -(2**31), 80: -128, 212: -2048, 24: -(2**23)}
+# WFDB missing-sample sentinels per format (most negative representable value).
+# fmt 8 stores first differences, so no amplitude sentinel exists for it.
+_MISSING = {
+    16: -32768,
+    61: -32768,
+    160: -32768,
+    32: -(2**31),
+    80: -128,
+    212: -2048,
+    24: -(2**23),
+    310: -512,
+    311: -512,
+}
 
 _DEFAULT_GAIN = 200.0
 
@@ -172,8 +187,25 @@ def read_header(record_path: str) -> WFDBHeader:
     return header
 
 
+def _decode_fmt8(raw: bytes, total: int) -> np.ndarray:
+    # 8-bit two's-complement FIRST DIFFERENCES; reconstruction to amplitudes
+    # happens per signal in read_adc (needs the header's init_value).
+    return np.frombuffer(raw, dtype=np.int8, count=total).astype(np.int32)
+
+
 def _decode_fmt16(raw: bytes, total: int) -> np.ndarray:
     return np.frombuffer(raw, dtype="<i2", count=total).astype(np.int32)
+
+
+def _decode_fmt61(raw: bytes, total: int) -> np.ndarray:
+    # 16-bit two's complement, MSB first (big-endian twin of fmt 16)
+    return np.frombuffer(raw, dtype=">i2", count=total).astype(np.int32)
+
+
+def _decode_fmt160(raw: bytes, total: int) -> np.ndarray:
+    # 16-bit offset binary: stored word = value + 32768 (little-endian)
+    b = np.frombuffer(raw, dtype="<u2", count=total)
+    return b.astype(np.int32) - 32768
 
 
 def _decode_fmt32(raw: bytes, total: int) -> np.ndarray:
@@ -213,13 +245,71 @@ def _decode_fmt212(raw: bytes, total: int) -> np.ndarray:
     return flat[:total]
 
 
+def _decode_fmt310(raw: bytes, total: int) -> np.ndarray:
+    # Three 10-bit two's-complement samples packed per four bytes (two
+    # little-endian 16-bit words w1, w2).  Per signal(5): sample 1 is the 11
+    # low bits of w1 with the LSB discarded; sample 2 likewise from w2;
+    # sample 3 is the 5 high bits of w1 (low half) and of w2 (high half).
+    n_grp = (total + 2) // 3
+    need = n_grp * 4
+    if len(raw) < need:
+        raw = raw + b"\x00" * (need - len(raw))
+    w = np.frombuffer(raw, dtype="<u2", count=n_grp * 2).astype(np.int32)
+    w1, w2 = w[0::2], w[1::2]
+    s1 = (w1 >> 1) & 0x3FF
+    s2 = (w2 >> 1) & 0x3FF
+    s3 = ((w1 >> 11) & 0x1F) | (((w2 >> 11) & 0x1F) << 5)
+    flat = np.empty(n_grp * 3, dtype=np.int32)
+    flat[0::3], flat[1::3], flat[2::3] = s1, s2, s3
+    return np.where(flat > 511, flat - 1024, flat)[:total]
+
+
+def _decode_fmt311(raw: bytes, total: int) -> np.ndarray:
+    # Three 10-bit two's-complement samples packed per 32-bit little-endian
+    # word: sample 1 = bits 0-9, sample 2 = bits 10-19, sample 3 = bits 20-29.
+    n_grp = (total + 2) // 3
+    need = n_grp * 4
+    if len(raw) < need:
+        raw = raw + b"\x00" * (need - len(raw))
+    w = np.frombuffer(raw, dtype="<u4", count=n_grp).astype(np.int64)
+    flat = np.empty(n_grp * 3, dtype=np.int32)
+    flat[0::3] = (w & 0x3FF).astype(np.int32)
+    flat[1::3] = ((w >> 10) & 0x3FF).astype(np.int32)
+    flat[2::3] = ((w >> 20) & 0x3FF).astype(np.int32)
+    return np.where(flat > 511, flat - 1024, flat)[:total]
+
+
 _DECODERS = {
+    8: _decode_fmt8,
     16: _decode_fmt16,
     24: _decode_fmt24,
     32: _decode_fmt32,
+    61: _decode_fmt61,
     80: _decode_fmt80,
+    160: _decode_fmt160,
     212: _decode_fmt212,
+    310: _decode_fmt310,
+    311: _decode_fmt311,
 }
+
+
+def _reconstruct_fmt8(diff_frames: np.ndarray, group: List[SignalSpec]) -> np.ndarray:
+    """Rebuild amplitudes from fmt-8 first differences for one signal group.
+
+    signal(5): the amplitude of sample n is the sum of the first differences
+    of all samples up to n plus the signal's initial value from the header —
+    i.e. ``amplitude = init_value + cumsum(diffs)`` per signal (frame-major
+    order within a signal when samps_per_frame > 1).
+    """
+    out = np.empty_like(diff_frames)
+    pos = 0
+    for spec in group:
+        spf = spec.samps_per_frame
+        seq = diff_frames[:, pos : pos + spf].reshape(-1)
+        rec = np.cumsum(seq, dtype=np.int64) + spec.init_value
+        out[:, pos : pos + spf] = rec.reshape(-1, spf).astype(diff_frames.dtype)
+        pos += spf
+    return out
 
 
 def read_adc(record_path: str, header: Optional[WFDBHeader] = None) -> Tuple[np.ndarray, WFDBHeader]:
@@ -268,6 +358,8 @@ def read_adc(record_path: str, header: Optional[WFDBHeader] = None) -> Tuple[np.
         frame_len = sum(s.samps_per_frame for s in group)
         flat = _DECODERS[fmt](raw, n_frames * frame_len)
         frames = flat.reshape(n_frames, frame_len)
+        if fmt == 8:
+            frames = _reconstruct_fmt8(frames, group)
 
         pos = 0
         for spec in group:

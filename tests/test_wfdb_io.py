@@ -155,13 +155,107 @@ def test_skew_shifts_and_pads(tmp_path):
 
 
 def test_unsupported_format_raises(tmp_path):
-    rec = str(tmp_path / "f310")
+    rec = str(tmp_path / "f999")
     with open(rec + ".dat", "wb") as f:
         f.write(b"\x00" * 16)
     with open(rec + ".hea", "w") as f:
-        f.write("f310 1 500 4\nf310.dat 310 200(0)/mV 10 0 0 0 0 s\n")
-    with pytest.raises(NotImplementedError, match="310"):
+        f.write("f999 1 500 4\nf999.dat 999 200(0)/mV 10 0 0 0 0 s\n")
+    with pytest.raises(NotImplementedError, match="999"):
         read_adc(rec)
+
+
+def test_fmt61_big_endian(tmp_path):
+    vals = np.array([1, -1, 300, -32767, 12345], dtype=np.int64)
+    raw = b"".join(int(v).to_bytes(2, "big", signed=True) for v in vals)
+    rec = str(tmp_path / "f61")
+    with open(rec + ".dat", "wb") as f:
+        f.write(raw)
+    with open(rec + ".hea", "w") as f:
+        f.write("f61 1 500 5\nf61.dat 61 1000(0)/mV 16 0 1 0 0 s\n")
+    adc, _ = read_adc(rec)
+    np.testing.assert_array_equal(adc[:, 0], vals)
+
+
+def test_fmt160_offset_binary_and_sentinel(tmp_path):
+    vals = [0, 1, -1, 5000, -5000]
+    raw = b"".join(int(v + 32768).to_bytes(2, "little") for v in vals)
+    raw += (0).to_bytes(2, "little")  # stored 0 == amplitude -32768 == missing
+    rec = str(tmp_path / "f160")
+    with open(rec + ".dat", "wb") as f:
+        f.write(raw)
+    with open(rec + ".hea", "w") as f:
+        f.write("f160 1 500 6\nf160.dat 160 1000(0)/mV 16 0 0 0 0 s\n")
+    adc, _ = read_adc(rec)
+    np.testing.assert_array_equal(adc[:5, 0], vals)
+    phys, _ = rdsamp(rec)
+    np.testing.assert_allclose(phys[:5, 0], np.array(vals) / 1000.0)
+    assert np.isnan(phys[5, 0])
+
+
+def test_fmt8_first_differences(tmp_path):
+    # Two interleaved signals; amplitude = init_value + cumsum(diffs)
+    a = np.array([5, 7, 4, 4, -3], dtype=np.int64)
+    b = np.array([-2, -2, 0, 10, 9], dtype=np.int64)
+    diffs_a = np.diff(np.concatenate([[a[0]], a]))  # first stored diff 0
+    diffs_b = np.diff(np.concatenate([[b[0]], b]))
+    inter = np.stack([diffs_a, diffs_b], axis=1).reshape(-1)
+    rec = str(tmp_path / "f8")
+    with open(rec + ".dat", "wb") as f:
+        f.write(inter.astype(np.int8).tobytes())
+    with open(rec + ".hea", "w") as f:
+        f.write("f8 2 500 5\n"
+                f"f8.dat 8 1000(0)/mV 8 0 {a[0]} 0 0 sa\n"
+                f"f8.dat 8 1000(0)/mV 8 0 {b[0]} 0 0 sb\n")
+    adc, _ = read_adc(rec)
+    np.testing.assert_array_equal(adc[:, 0], a)
+    np.testing.assert_array_equal(adc[:, 1], b)
+
+
+def _pack310(samples):
+    out = bytearray()
+    for i in range(0, len(samples), 3):
+        s = [samples[i + j] if i + j < len(samples) else 0 for j in range(3)]
+        u = [v & 0x3FF for v in s]
+        w1 = (u[0] << 1) | ((u[2] & 0x1F) << 11)
+        w2 = (u[1] << 1) | (((u[2] >> 5) & 0x1F) << 11)
+        out += w1.to_bytes(2, "little") + w2.to_bytes(2, "little")
+    return bytes(out)
+
+
+def _pack311(samples):
+    out = bytearray()
+    for i in range(0, len(samples), 3):
+        s = [samples[i + j] if i + j < len(samples) else 0 for j in range(3)]
+        w = (s[0] & 0x3FF) | ((s[1] & 0x3FF) << 10) | ((s[2] & 0x3FF) << 20)
+        out += w.to_bytes(4, "little")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("fmt,pack", [(310, _pack310), (311, _pack311)])
+def test_fmt310_311_packed_10bit(tmp_path, fmt, pack):
+    # 5 samples (non-multiple of 3 exercises the padded tail), incl. extremes
+    vals = [100, -200, 511, -511, 7]
+    raw = pack(vals)
+    rec = str(tmp_path / f"f{fmt}")
+    with open(rec + ".dat", "wb") as f:
+        f.write(raw)
+    with open(rec + ".hea", "w") as f:
+        f.write(f"f{fmt} 1 500 5\nf{fmt}.dat {fmt} 200(0)/mV 10 0 100 0 0 s\n")
+    adc, _ = read_adc(rec)
+    np.testing.assert_array_equal(adc[:, 0], vals)
+
+
+@pytest.mark.parametrize("fmt,pack", [(310, _pack310), (311, _pack311)])
+def test_fmt310_311_sentinel(tmp_path, fmt, pack):
+    raw = pack([-512, 3, 4])
+    rec = str(tmp_path / f"nan{fmt}")
+    with open(rec + ".dat", "wb") as f:
+        f.write(raw)
+    with open(rec + ".hea", "w") as f:
+        f.write(f"nan{fmt} 1 500 3\nnan{fmt}.dat {fmt} 200(0)/mV 10 0 -512 0 0 s\n")
+    phys, _ = rdsamp(rec)
+    assert np.isnan(phys[0, 0])
+    np.testing.assert_allclose(phys[1:, 0], [3 / 200.0, 4 / 200.0])
 
 
 def test_gain_zero_defaults(tmp_path):
