@@ -99,6 +99,35 @@ int wfdb_decode_batch_fmt16(const char** paths, int n, int n_samples,
   return ok_count.load();
 }
 
+// Gather rows of a C-contiguous array (typically the int16 ADC memmap cache,
+// ptbxl_tpu/data/cache.py) into a contiguous output batch: out[i] =
+// base[indices[i]].  Multithreaded memcpy — the warm-cache input pipeline is
+// bound by exactly this copy (reference equivalent: per-record __getitem__
+// in DataLoader workers, src/datasets/ptbxl.py:122-142).
+void wfdb_gather_rows(const uint8_t* base, int64_t row_bytes,
+                      const int64_t* indices, int n, uint8_t* out,
+                      int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      std::memcpy(out + static_cast<size_t>(i) * row_bytes,
+                  base + static_cast<size_t>(indices[i]) * row_bytes,
+                  static_cast<size_t>(row_bytes));
+    }
+  };
+  if (n_threads == 1 || n < 2) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+}
+
 // Physical conversion: (adc - baseline) / gain with NaN for the missing
 // sentinel (-32768).  adc [n_sig, T] int16 -> phys [n_sig, T] float32.
 void wfdb_adc_to_physical(const int16_t* adc, int n_sig, int n_samples,

@@ -27,6 +27,23 @@ from ptbxl_tpu.io.wfdb_io import read_adc
 _SENTINEL16 = -32768
 
 
+def gather_records(arr: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """``arr[idx]`` materialized contiguously — the warm-cache hot path.
+
+    Uses the native threaded row-gather when the C++ layer is available
+    (scales with host cores; the memmap fancy-index is single-threaded numpy).
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    try:
+        from ptbxl_tpu.io import native
+
+        if native.available():
+            return native.gather_rows(arr, idx)
+    except Exception:
+        pass
+    return np.asarray(arr[idx])
+
+
 def _key(rel_paths: Sequence[str]) -> str:
     h = hashlib.sha1("\n".join(rel_paths).encode()).hexdigest()[:16]
     return h
@@ -147,9 +164,10 @@ class ADCCache:
         if self._adc is None:
             self.ensure_built()
         idx = np.asarray(indices)
-        adc = np.asarray(self._adc[idx], dtype=np.float32)  # [B, L, T]
+        adc_i16 = gather_records(self._adc, idx)  # [B, L, T], one memmap read
+        adc = adc_i16.astype(np.float32)
         gain = self._gain[idx][:, :, None]
         baseline = self._baseline[idx][:, :, None]
         phys = (adc - baseline) / gain
-        phys[np.asarray(self._adc[idx]) == _SENTINEL16] = np.nan
+        phys[adc_i16 == _SENTINEL16] = np.nan
         return phys

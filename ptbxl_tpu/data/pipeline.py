@@ -159,8 +159,11 @@ class BatchSource:
             if self.emit_adc:
                 c = self._cache
                 # ship the memmap's native [B, L, T] layout untouched: the
-                # host does ONLY the gather; transpose+convert run on device
-                batch["adc_lt"] = np.asarray(c._adc[np.asarray(idx)])
+                # host does ONLY the gather (threaded C++ when available);
+                # transpose+convert run on device
+                from ptbxl_tpu.data.cache import gather_records
+
+                batch["adc_lt"] = gather_records(c._adc, idx)
                 batch["gain"] = c._gain[np.asarray(idx)]
                 batch["baseline"] = c._baseline[np.asarray(idx)]
             else:

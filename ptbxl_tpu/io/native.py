@@ -51,6 +51,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int,
     ]
+    lib.wfdb_gather_rows.restype = None
+    lib.wfdb_gather_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
     lib.wfdb_adc_to_physical.restype = None
     lib.wfdb_adc_to_physical.argtypes = [
         ctypes.POINTER(ctypes.c_int16),
@@ -97,6 +106,42 @@ def decode_batch_fmt16(
         n_threads,
     )
     return out, status == 0
+
+
+def gather_rows(
+    src: np.ndarray,
+    indices: np.ndarray,
+    out: Optional[np.ndarray] = None,
+    n_threads: Optional[int] = None,
+) -> np.ndarray:
+    """Threaded ``out[i] = src[indices[i]]`` over axis 0 of a C-contiguous
+    array (works on memmaps; this is the warm-cache batch-assembly hot path).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native WFDB decoder unavailable (no toolchain?)")
+    if not src.flags.c_contiguous:
+        raise ValueError("gather_rows requires a C-contiguous source")
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    n = len(idx)
+    if n and (idx.min() < 0 or idx.max() >= src.shape[0]):
+        raise IndexError("gather_rows index out of range")
+    row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
+    if out is None:
+        out = np.empty((n,) + src.shape[1:], dtype=src.dtype)
+    assert out.flags.c_contiguous and out.dtype == src.dtype
+    assert out.shape == (n,) + src.shape[1:]
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    lib.wfdb_gather_rows(
+        ctypes.cast(src.ctypes.data, ctypes.POINTER(ctypes.c_uint8)),
+        row_bytes,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+    )
+    return out
 
 
 def adc_to_physical(

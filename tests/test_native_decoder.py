@@ -77,3 +77,39 @@ def test_cache_uses_native_and_matches(ptbxl_dir):
     cache.ensure_built()
     for i in range(len(ds)):
         np.testing.assert_allclose(cache.get_physical([i])[0], ds.get_raw(i), atol=1e-6)
+
+
+def test_gather_rows_matches_fancy_index(tmp_path):
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    src = rng.integers(-32768, 32767, size=(64, 12, 100), dtype=np.int16)
+    idx = rng.permutation(64)[:17]
+    out = native.gather_rows(src, idx)
+    np.testing.assert_array_equal(out, src[idx])
+    # memmap source (the real use), repeated indices (padded final batch)
+    path = str(tmp_path / "mm.npy")
+    mm = np.lib.format.open_memmap(path, mode="w+", dtype=np.int16, shape=src.shape)
+    mm[:] = src
+    mm.flush()
+    ro = np.load(path, mmap_mode="r")
+    idx2 = np.array([3, 3, 0, 63, 3])
+    np.testing.assert_array_equal(native.gather_rows(ro, idx2), src[idx2])
+
+
+def test_gather_rows_rejects_bad_indices():
+    if not native.available():
+        pytest.skip("no native toolchain")
+    src = np.zeros((4, 3), dtype=np.float32)
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.array([0, 4]))
+    with pytest.raises(ValueError):
+        native.gather_rows(np.asfortranarray(np.zeros((4, 3, 2), np.int16)), np.array([0]))
+
+
+def test_gather_records_fallback_equivalence():
+    from ptbxl_tpu.data.cache import gather_records
+
+    src = np.arange(120, dtype=np.int16).reshape(10, 4, 3)
+    idx = np.array([9, 0, 5, 5])
+    np.testing.assert_array_equal(gather_records(src, idx), src[idx])
