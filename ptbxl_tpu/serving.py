@@ -1,0 +1,188 @@
+"""Serialized serving artifacts via ``jax.export`` (StableHLO).
+
+The reference deploys a model by shipping its Python source plus a ``.pth``
+file and re-instantiating ``nn.Module``s on the serving host (reference:
+scripts/06_ecg_baseline_test.py:69-84).  A TPU-native framework can do
+better: export the trained model ONCE into a self-contained, versioned
+StableHLO artifact — weights baked in, per-lead z-score preprocessing
+included, batch dimension symbolic — and serve it anywhere jax runs, with no
+model code, no Flax, and no checkpoint format on the serving host.
+
+    from ptbxl_tpu.serving import export_serving_artifact, ServingModel
+
+    export_serving_artifact("outputs/ecg_baseline/ckpts/ecg_baseline_best.npz",
+                            "/models/ecg_baseline.stablehlo")
+
+    model = ServingModel("/models/ecg_baseline.stablehlo")
+    probs = model(signals)            # [N, 12, T] or [N, T, 12] -> [N, L]
+
+Artifacts are exported for BOTH cpu and tpu lowering platforms by default,
+so the same file serves on a TPU pod and in a CPU canary.  The forward is
+the XLA engine (the large-batch throughput winner — docs/ARCHITECTURE.md);
+the batch dimension is a symbolic shape, so one artifact serves any batch
+size without recompilation at export time.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_MAGIC = b"PTBXLSRV1\n"
+
+
+def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
+                   demo_hidden_dim: int, normalize: bool, precision: str):
+    """The same forward the Predictor's XLA engine runs, params closed over."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+
+    model_precision = None if precision == "default" else precision
+    model_dtype = jnp.bfloat16 if precision == "default" else jnp.float32
+    if arch == "multimodal":
+        model = ECGMultimodal(
+            feat_dim=feat_dim, num_labels=num_labels,
+            demo_hidden_dim=demo_hidden_dim,
+            precision=model_precision, dtype=model_dtype,
+        )
+
+        def forward(x, d):
+            h = zscore_per_lead_batch(x) if normalize else x
+            logits = model.apply(variables, h, d, False)
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    else:
+        model = ECGCNN(
+            feat_dim=feat_dim, num_labels=num_labels,
+            precision=model_precision, dtype=model_dtype,
+        )
+
+        def forward(x):
+            h = zscore_per_lead_batch(x) if normalize else x
+            logits = model.apply(variables, h, False)
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return forward
+
+
+def export_serving_artifact(
+    ckpt_path: str,
+    out_path: str,
+    arch: str = "ecgcnn",  # 'ecgcnn' | 'multimodal'
+    num_labels: int = 5,
+    feat_dim: int = 256,
+    demo_hidden_dim: int = 64,
+    n_samples: int = 5000,
+    n_leads: int = 12,
+    normalize: bool = True,
+    precision: str = "highest",  # 'highest' (f32 parity) | 'default' (bf16)
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> str:
+    """Export a checkpoint to a self-contained serving artifact.
+
+    The artifact embeds: the serialized StableHLO module (weights as
+    constants), the class names, and the input contract.  Returns
+    ``out_path``.
+    """
+    import jax
+    from jax import export as jexport
+
+    from ptbxl_tpu.models.params_io import load_checkpoint
+
+    variables, classes = load_checkpoint(ckpt_path, arch=arch)
+    forward = _build_forward(
+        variables, arch, num_labels, feat_dim, demo_hidden_dim, normalize,
+        precision,
+    )
+
+    (b,) = jexport.symbolic_shape("b")
+    x_spec = jax.ShapeDtypeStruct((b, n_samples, n_leads), np.float32)
+    if arch == "multimodal":
+        d_spec = jax.ShapeDtypeStruct((b, 5), np.float32)
+        exported = jexport.export(jax.jit(forward), platforms=tuple(platforms))(
+            x_spec, d_spec
+        )
+    else:
+        exported = jexport.export(jax.jit(forward), platforms=tuple(platforms))(
+            x_spec
+        )
+    blob = exported.serialize()
+
+    meta = {
+        "arch": arch,
+        "classes": list(classes) if classes is not None else None,
+        "num_labels": num_labels,
+        "n_samples": n_samples,
+        "n_leads": n_leads,
+        "normalize": normalize,
+        "precision": precision,
+        "platforms": list(platforms),
+    }
+    meta_bytes = json.dumps(meta).encode()
+    with open(out_path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(meta_bytes)))
+        f.write(meta_bytes)
+        f.write(blob)
+    return out_path
+
+
+class ServingModel:
+    """Load and run a serving artifact — no model code, no checkpoint needed.
+
+    Accepts reference-layout ``[N, 12, T]`` or channels-last ``[N, T, 12]``
+    raw signals like the Predictor; the exported module already contains the
+    per-lead z-score when the artifact was built with ``normalize=True``.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            magic = f.read(len(_MAGIC))
+            if magic != _MAGIC:
+                raise ValueError(f"{path} is not a ptbxl_tpu serving artifact")
+            (meta_len,) = struct.unpack("<Q", f.read(8))
+            self.meta = json.loads(f.read(meta_len).decode())
+            blob = f.read()
+
+        from jax import export as jexport
+
+        self._exported = jexport.deserialize(bytearray(blob))
+        self.classes: Optional[List[str]] = self.meta["classes"]
+        self.arch: str = self.meta["arch"]
+        self.n_samples: int = self.meta["n_samples"]
+        self.n_leads: int = self.meta["n_leads"]
+
+    def _canon(self, signals: np.ndarray) -> np.ndarray:
+        x = np.asarray(signals, dtype=np.float32)
+        if x.ndim == 2:
+            x = x[None]
+        if x.shape[1] == self.n_leads and x.shape[2] != self.n_leads:
+            x = x.transpose(0, 2, 1)
+        if x.shape[1:] != (self.n_samples, self.n_leads):
+            raise ValueError(
+                f"expected [N, {self.n_samples}, {self.n_leads}] (or the "
+                f"lead-major transpose), got {x.shape}"
+            )
+        return x
+
+    def __call__(self, signals: np.ndarray, demo: Optional[np.ndarray] = None) -> np.ndarray:
+        x = self._canon(signals)
+        if self.arch == "multimodal":
+            if demo is None:
+                raise ValueError("multimodal artifact requires demo vectors")
+            d = np.asarray(demo, dtype=np.float32)
+            if d.ndim == 1:
+                d = d[None]
+            return np.asarray(self._exported.call(x, d))
+        return np.asarray(self._exported.call(x))
+
+
+def load_serving_artifact(path: str) -> ServingModel:
+    return ServingModel(path)

@@ -128,20 +128,36 @@ def train_one_epoch(
     timer = StepTimer() if perf_enabled() else None
     total = 0.0
     weight = 0.0
-    for batch in _maybe_tqdm(batches, desc):
-        n_real = float(np.asarray(batch["mask"]).sum())
-        if timer:
-            timer.start()
-        state, loss = train_step(state, batch)
-        loss = float(loss)  # blocks on the step
-        if timer:
-            timer.stop(n_real)
+    pending = None  # (loss future, n_real) — materialized one step late so
+    # the next step is already dispatched while this one runs (async dispatch)
+
+    def settle(item):
+        nonlocal total, weight
+        loss, n_real = float(item[0]), item[1]
         if loss_mode == "per_sample":
             total += loss * n_real
             weight += n_real
         else:  # per_batch (loop_demo.py:40-43)
             total += loss
             weight += 1.0
+
+    for batch in _maybe_tqdm(batches, desc):
+        n_real = float(np.asarray(batch["mask"]).sum())
+        if timer:
+            if pending is not None:
+                settle(pending)  # timer mode: block per step for honest timing
+                pending = None
+            timer.start()
+        state, loss = train_step(state, batch)
+        if timer:
+            settle((loss, n_real))  # float() blocks on the step
+            timer.stop(n_real)
+        else:
+            if pending is not None:
+                settle(pending)
+            pending = (loss, n_real)
+    if pending is not None:
+        settle(pending)
     if timer:
         print(timer.report("train"))
     return state, total / max(1.0, weight)
