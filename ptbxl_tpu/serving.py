@@ -72,6 +72,50 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
     return forward
 
 
+def _build_cam_forward(variables, arch: str, num_labels: int, feat_dim: int,
+                       demo_hidden_dim: int, normalize: bool,
+                       n_samples: int):
+    """(probs, all-class CAMs) forward for the interpretable artifact.
+
+    Uses the one-pass multi-class Grad-CAM (features + tail vjp once,
+    vmapped one-hot cotangents) with the demo-variant normalization
+    (interpolate -> min-max, eps 1e-9 — reference:
+    scripts/00_demo_inference.py:52-61)."""
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.interpret.grad_cam import GradCAM
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+
+    if arch == "multimodal":
+        model = ECGMultimodal(feat_dim=feat_dim, num_labels=num_labels,
+                              demo_hidden_dim=demo_hidden_dim)
+    else:
+        model = ECGCNN(feat_dim=feat_dim, num_labels=num_labels)
+    gc = GradCAM(model, variables, signal_length=n_samples, norm_first=False,
+                 eps=1e-9, multimodal=(arch == "multimodal"))
+    multi = gc._build_multi()
+    class_indices = jnp.arange(num_labels, dtype=jnp.int32)
+
+    if arch == "multimodal":
+
+        def forward(x, d):
+            h = zscore_per_lead_batch(x) if normalize else x
+            probs, cams = multi(h, class_indices, d)
+            # [n_classes, B, T] -> [B, n_classes, T]
+            return probs, jnp.transpose(cams, (1, 0, 2))
+
+    else:
+
+        def forward(x):
+            h = zscore_per_lead_batch(x) if normalize else x
+            probs, cams = multi(h, class_indices)
+            return probs, jnp.transpose(cams, (1, 0, 2))
+
+    return forward
+
+
 def export_serving_artifact(
     ckpt_path: str,
     out_path: str,
@@ -84,12 +128,15 @@ def export_serving_artifact(
     normalize: bool = True,
     precision: str = "highest",  # 'highest' (f32 parity) | 'default' (bf16)
     platforms: Sequence[str] = ("cpu", "tpu"),
+    with_cam: bool = False,
 ) -> str:
     """Export a checkpoint to a self-contained serving artifact.
 
     The artifact embeds: the serialized StableHLO module (weights as
-    constants), the class names, and the input contract.  Returns
-    ``out_path``.
+    constants), the class names, and the input contract.  With
+    ``with_cam=True`` the module returns ``(probs [B, L], cams [B, L, T])``
+    — interpretable serving with every class's Grad-CAM in one call.
+    Returns ``out_path``.
     """
     import jax
     from jax import export as jexport
@@ -97,10 +144,16 @@ def export_serving_artifact(
     from ptbxl_tpu.models.params_io import load_checkpoint
 
     variables, classes = load_checkpoint(ckpt_path, arch=arch)
-    forward = _build_forward(
-        variables, arch, num_labels, feat_dim, demo_hidden_dim, normalize,
-        precision,
-    )
+    if with_cam:
+        forward = _build_cam_forward(
+            variables, arch, num_labels, feat_dim, demo_hidden_dim, normalize,
+            n_samples,
+        )
+    else:
+        forward = _build_forward(
+            variables, arch, num_labels, feat_dim, demo_hidden_dim, normalize,
+            precision,
+        )
 
     (b,) = jexport.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct((b, n_samples, n_leads), np.float32)
@@ -124,6 +177,7 @@ def export_serving_artifact(
         "normalize": normalize,
         "precision": precision,
         "platforms": list(platforms),
+        "with_cam": with_cam,
     }
     meta_bytes = json.dumps(meta).encode()
     with open(out_path, "wb") as f:
@@ -158,6 +212,7 @@ class ServingModel:
         self.arch: str = self.meta["arch"]
         self.n_samples: int = self.meta["n_samples"]
         self.n_leads: int = self.meta["n_leads"]
+        self.with_cam: bool = bool(self.meta.get("with_cam", False))
 
     def _canon(self, signals: np.ndarray) -> np.ndarray:
         x = np.asarray(signals, dtype=np.float32)
@@ -172,7 +227,9 @@ class ServingModel:
             )
         return x
 
-    def __call__(self, signals: np.ndarray, demo: Optional[np.ndarray] = None) -> np.ndarray:
+    def __call__(self, signals: np.ndarray, demo: Optional[np.ndarray] = None):
+        """probs [N, L] — or ``(probs [N, L], cams [N, L, T])`` for a
+        ``with_cam`` artifact."""
         x = self._canon(signals)
         if self.arch == "multimodal":
             if demo is None:
@@ -180,8 +237,13 @@ class ServingModel:
             d = np.asarray(demo, dtype=np.float32)
             if d.ndim == 1:
                 d = d[None]
-            return np.asarray(self._exported.call(x, d))
-        return np.asarray(self._exported.call(x))
+            out = self._exported.call(x, d)
+        else:
+            out = self._exported.call(x)
+        if self.with_cam:
+            probs, cams = out
+            return np.asarray(probs), np.asarray(cams)
+        return np.asarray(out)
 
 
 def load_serving_artifact(path: str) -> ServingModel:

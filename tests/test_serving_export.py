@@ -83,3 +83,31 @@ def test_artifact_layout_and_validation(tmp_path):
         f.write(b"not an artifact")
     with pytest.raises(ValueError, match="artifact"):
         ServingModel(bad)
+
+
+def test_cam_artifact(tmp_path):
+    """with_cam artifact returns (probs, all-class CAMs) matching GradCAM."""
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.interpret.grad_cam import GradCAM
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.params_io import load_checkpoint
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+
+    path = str(tmp_path / "cam.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, path, platforms=("cpu",), with_cam=True)
+    model = ServingModel(path)
+    assert model.with_cam
+
+    ecg, _ = _demo_batch("single")
+    probs, cams = model(ecg[:3])
+    assert probs.shape == (3, 5) and cams.shape == (3, 5, 5000)
+    assert np.isfinite(cams).all() and cams.min() >= 0.0 and cams.max() <= 1.0
+
+    variables, _ = load_checkpoint(BASELINE_CKPT, arch="ecgcnn")
+    gc = GradCAM(ECGCNN(feat_dim=256, num_labels=5), variables,
+                 signal_length=5000, norm_first=False, eps=1e-9)
+    x = zscore_per_lead_batch(jnp.asarray(ecg[:3].transpose(0, 2, 1)))
+    ref_probs, ref_cams = gc.multi(x, np.arange(5))
+    np.testing.assert_allclose(probs, np.asarray(ref_probs), atol=2e-6)
+    np.testing.assert_allclose(cams, np.asarray(ref_cams).transpose(1, 0, 2), atol=2e-5)
