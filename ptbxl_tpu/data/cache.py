@@ -33,7 +33,10 @@ def gather_records(arr: np.ndarray, idx: np.ndarray) -> np.ndarray:
     Uses the native threaded row-gather when the C++ layer is available
     (scales with host cores; the memmap fancy-index is single-threaded numpy).
     """
-    idx = np.asarray(idx, dtype=np.int64)
+    idx = np.asarray(idx)
+    if idx.dtype == bool:  # keep np fancy-index semantics for boolean masks
+        idx = np.nonzero(idx)[0]
+    idx = idx.astype(np.int64, copy=False)
     try:
         from ptbxl_tpu.io import native
 

@@ -131,6 +131,10 @@ class BatchSource:
                 self._cache = None
         self.emit_adc = emit_adc and self._cache is not None
         self._reader = None if self._cache is not None else _ParallelRecordReader(dataset)
+        if self._cache is not None:
+            from ptbxl_tpu.data.cache import gather_records
+
+            self._gather = gather_records
 
     @property
     def steps_per_epoch(self) -> int:
@@ -161,9 +165,7 @@ class BatchSource:
                 # ship the memmap's native [B, L, T] layout untouched: the
                 # host does ONLY the gather (threaded C++ when available);
                 # transpose+convert run on device
-                from ptbxl_tpu.data.cache import gather_records
-
-                batch["adc_lt"] = gather_records(c._adc, idx)
+                batch["adc_lt"] = self._gather(c._adc, idx)
                 batch["gain"] = c._gain[np.asarray(idx)]
                 batch["baseline"] = c._baseline[np.asarray(idx)]
             else:

@@ -129,8 +129,10 @@ def gather_rows(
     row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
     if out is None:
         out = np.empty((n,) + src.shape[1:], dtype=src.dtype)
-    assert out.flags.c_contiguous and out.dtype == src.dtype
-    assert out.shape == (n,) + src.shape[1:]
+    if not out.flags.c_contiguous or out.dtype != src.dtype or out.shape != (n,) + src.shape[1:]:
+        raise ValueError(
+            f"out must be C-contiguous {src.dtype} of shape {(n,) + src.shape[1:]}"
+        )
     if n_threads is None:
         n_threads = min(16, os.cpu_count() or 1)
     lib.wfdb_gather_rows(

@@ -26,6 +26,7 @@ size without recompilation at export time.
 from __future__ import annotations
 
 import json
+import os
 import struct
 from typing import List, Optional, Sequence, Tuple
 
@@ -74,7 +75,7 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
 
 def _build_cam_forward(variables, arch: str, num_labels: int, feat_dim: int,
                        demo_hidden_dim: int, normalize: bool,
-                       n_samples: int):
+                       n_samples: int, precision: str):
     """(probs, all-class CAMs) forward for the interpretable artifact.
 
     Uses the one-pass multi-class Grad-CAM (features + tail vjp once,
@@ -88,11 +89,15 @@ def _build_cam_forward(variables, arch: str, num_labels: int, feat_dim: int,
     from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
     from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
 
+    model_precision = None if precision == "default" else precision
+    model_dtype = jnp.bfloat16 if precision == "default" else jnp.float32
     if arch == "multimodal":
         model = ECGMultimodal(feat_dim=feat_dim, num_labels=num_labels,
-                              demo_hidden_dim=demo_hidden_dim)
+                              demo_hidden_dim=demo_hidden_dim,
+                              precision=model_precision, dtype=model_dtype)
     else:
-        model = ECGCNN(feat_dim=feat_dim, num_labels=num_labels)
+        model = ECGCNN(feat_dim=feat_dim, num_labels=num_labels,
+                       precision=model_precision, dtype=model_dtype)
     gc = GradCAM(model, variables, signal_length=n_samples, norm_first=False,
                  eps=1e-9, multimodal=(arch == "multimodal"))
     multi = gc._build_multi()
@@ -147,7 +152,7 @@ def export_serving_artifact(
     if with_cam:
         forward = _build_cam_forward(
             variables, arch, num_labels, feat_dim, demo_hidden_dim, normalize,
-            n_samples,
+            n_samples, precision,
         )
     else:
         forward = _build_forward(
@@ -180,11 +185,13 @@ def export_serving_artifact(
         "with_cam": with_cam,
     }
     meta_bytes = json.dumps(meta).encode()
-    with open(out_path, "wb") as f:
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack("<Q", len(meta_bytes)))
         f.write(meta_bytes)
         f.write(blob)
+    os.replace(tmp, out_path)  # atomic: no truncated artifacts on crash
     return out_path
 
 

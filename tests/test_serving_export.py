@@ -20,7 +20,8 @@ MM_CKPT = os.path.join(REPO, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.n
 DEMO_DIR = os.path.join(REPO, "data/demo")
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(BASELINE_CKPT), reason="bundled checkpoints missing"
+    not (os.path.exists(BASELINE_CKPT) and os.path.exists(MM_CKPT)),
+    reason="bundled checkpoints missing",
 )
 
 
