@@ -134,6 +134,8 @@ def export_serving_artifact(
     precision: str = "highest",  # 'highest' (f32 parity) | 'default' (bf16)
     platforms: Sequence[str] = ("cpu", "tpu"),
     with_cam: bool = False,
+    engine: str = "xla",  # 'xla' | 'pallas' (fused single-kernel, tpu-only)
+    batch_size: Optional[int] = None,
 ) -> str:
     """Export a checkpoint to a self-contained serving artifact.
 
@@ -141,7 +143,13 @@ def export_serving_artifact(
     constants), the class names, and the input contract.  With
     ``with_cam=True`` the module returns ``(probs [B, L], cams [B, L, T])``
     — interpretable serving with every class's Grad-CAM in one call.
-    Returns ``out_path``.
+
+    ``engine='pallas'`` exports the fused single-kernel forward — the
+    latency-regime winner (~5x XLA below batch ~512, one launch,
+    everything VMEM-resident; docs/ARCHITECTURE.md).  The Mosaic kernel is a
+    TPU custom call, so the artifact is tpu-only and the batch dimension is
+    FIXED at ``batch_size`` (default 8); ``ServingModel`` chunks and pads
+    inputs to that size transparently.  Returns ``out_path``.
     """
     import jax
     from jax import export as jexport
@@ -149,7 +157,34 @@ def export_serving_artifact(
     from ptbxl_tpu.models.params_io import load_checkpoint
 
     variables, classes = load_checkpoint(ckpt_path, arch=arch)
-    if with_cam:
+    disabled_checks = []
+    if engine == "pallas":
+        if with_cam:
+            raise ValueError("engine='pallas' does not support with_cam")
+        from ptbxl_tpu.ops.pallas.fused_ecgcnn import (
+            fold_bn_into_conv,
+            fold_multimodal,
+            fused_ecgcnn_probs,
+            fused_multimodal_probs,
+        )
+
+        folded = (fold_multimodal if arch == "multimodal" else fold_bn_into_conv)(
+            variables
+        )
+        if arch == "multimodal":
+
+            def forward(x, d):
+                return fused_multimodal_probs(x, d, folded, normalize=normalize)
+
+        else:
+
+            def forward(x):
+                return fused_ecgcnn_probs(x, folded, normalize=normalize)
+
+        platforms = ("tpu",)
+        batch_size = batch_size or 8
+        disabled_checks = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    elif with_cam:
         forward = _build_cam_forward(
             variables, arch, num_labels, feat_dim, demo_hidden_dim, normalize,
             n_samples, precision,
@@ -160,17 +195,19 @@ def export_serving_artifact(
             precision,
         )
 
-    (b,) = jexport.symbolic_shape("b")
+    if batch_size is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch_size)
     x_spec = jax.ShapeDtypeStruct((b, n_samples, n_leads), np.float32)
+    export_fn = jexport.export(
+        jax.jit(forward), platforms=tuple(platforms), disabled_checks=disabled_checks
+    )
     if arch == "multimodal":
         d_spec = jax.ShapeDtypeStruct((b, 5), np.float32)
-        exported = jexport.export(jax.jit(forward), platforms=tuple(platforms))(
-            x_spec, d_spec
-        )
+        exported = export_fn(x_spec, d_spec)
     else:
-        exported = jexport.export(jax.jit(forward), platforms=tuple(platforms))(
-            x_spec
-        )
+        exported = export_fn(x_spec)
     blob = exported.serialize()
 
     meta = {
@@ -183,6 +220,8 @@ def export_serving_artifact(
         "precision": precision,
         "platforms": list(platforms),
         "with_cam": with_cam,
+        "engine": engine,
+        "batch_size": batch_size,
     }
     meta_bytes = json.dumps(meta).encode()
     tmp = out_path + ".tmp"
@@ -220,6 +259,7 @@ class ServingModel:
         self.n_samples: int = self.meta["n_samples"]
         self.n_leads: int = self.meta["n_leads"]
         self.with_cam: bool = bool(self.meta.get("with_cam", False))
+        self.batch_size: Optional[int] = self.meta.get("batch_size")  # None = symbolic
 
     def _canon(self, signals: np.ndarray) -> np.ndarray:
         x = np.asarray(signals, dtype=np.float32)
@@ -234,23 +274,42 @@ class ServingModel:
             )
         return x
 
+    def _call_exact(self, x: np.ndarray, d: Optional[np.ndarray]):
+        if self.arch == "multimodal":
+            return self._exported.call(x, d)
+        return self._exported.call(x)
+
     def __call__(self, signals: np.ndarray, demo: Optional[np.ndarray] = None):
         """probs [N, L] — or ``(probs [N, L], cams [N, L, T])`` for a
         ``with_cam`` artifact."""
         x = self._canon(signals)
+        d = None
         if self.arch == "multimodal":
             if demo is None:
                 raise ValueError("multimodal artifact requires demo vectors")
             d = np.asarray(demo, dtype=np.float32)
             if d.ndim == 1:
                 d = d[None]
-            out = self._exported.call(x, d)
-        else:
-            out = self._exported.call(x)
-        if self.with_cam:
-            probs, cams = out
-            return np.asarray(probs), np.asarray(cams)
-        return np.asarray(out)
+
+        if self.batch_size is None:  # symbolic batch: one call, any N
+            out = self._call_exact(x, d)
+            if self.with_cam:
+                return np.asarray(out[0]), np.asarray(out[1])
+            return np.asarray(out)
+
+        # fixed-batch artifact (pallas engine): chunk + pad transparently
+        bs = self.batch_size
+        outs = []
+        for i0 in range(0, x.shape[0], bs):
+            cx = x[i0 : i0 + bs]
+            cd = d[i0 : i0 + bs] if d is not None else None
+            real = cx.shape[0]
+            if real < bs:
+                cx = np.concatenate([cx, np.repeat(cx[-1:], bs - real, axis=0)])
+                if cd is not None:
+                    cd = np.concatenate([cd, np.repeat(cd[-1:], bs - real, axis=0)])
+            outs.append(np.asarray(self._call_exact(cx, cd))[:real])
+        return np.concatenate(outs, axis=0)
 
 
 def load_serving_artifact(path: str) -> ServingModel:

@@ -112,3 +112,23 @@ def test_cam_artifact(tmp_path):
     ref_probs, ref_cams = gc.multi(x, np.arange(5))
     np.testing.assert_allclose(probs, np.asarray(ref_probs), atol=2e-6)
     np.testing.assert_allclose(cams, np.asarray(ref_cams).transpose(1, 0, 2), atol=2e-5)
+
+
+def test_fixed_batch_artifact_chunks_and_pads(tmp_path):
+    """batch_size pins the module's batch dim; ServingModel chunks + pads."""
+    path = str(tmp_path / "fixed.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, path, platforms=("cpu",), batch_size=4)
+    model = ServingModel(path)
+    assert model.batch_size == 4
+
+    ecg, _ = _demo_batch("single")  # 7 records -> chunks of 4 + padded 3
+    got = model(ecg)
+    sym = str(tmp_path / "sym.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, sym, platforms=("cpu",))
+    np.testing.assert_allclose(got, ServingModel(sym)(ecg), atol=2e-6)
+
+
+def test_pallas_engine_rejects_with_cam(tmp_path):
+    with pytest.raises(ValueError, match="pallas"):
+        export_serving_artifact(BASELINE_CKPT, str(tmp_path / "x"),
+                                engine="pallas", with_cam=True)
