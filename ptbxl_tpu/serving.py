@@ -136,6 +136,7 @@ def export_serving_artifact(
     with_cam: bool = False,
     engine: str = "xla",  # 'xla' | 'pallas' (fused single-kernel, tpu-only)
     batch_size: Optional[int] = None,
+    data_parallel: bool = False,
 ) -> str:
     """Export a checkpoint to a self-contained serving artifact.
 
@@ -149,7 +150,14 @@ def export_serving_artifact(
     everything VMEM-resident; docs/ARCHITECTURE.md).  The Mosaic kernel is a
     TPU custom call, so the artifact is tpu-only and the batch dimension is
     FIXED at ``batch_size`` (default 8); ``ServingModel`` chunks and pads
-    inputs to that size transparently.  Returns ``out_path``.
+    inputs to that size transparently.
+
+    ``data_parallel=True`` exports the forward jitted over a 1-D 'data' mesh
+    spanning ALL devices visible at export time: the artifact embeds the
+    GSPMD sharding, and serving it requires (and uses) the same device
+    count.  Requires a fixed ``batch_size`` (default 512) divisible by the
+    device count; the module is exported for the current backend platform
+    only.  Returns ``out_path``.
     """
     import jax
     from jax import export as jexport
@@ -195,16 +203,40 @@ def export_serving_artifact(
             precision,
         )
 
+    n_devices = 1
+    sharding = None
+    jit_fn = jax.jit(forward)
+    if data_parallel:
+        if engine == "pallas":
+            raise ValueError("data_parallel does not combine with engine='pallas'")
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devices = jax.devices()
+        n_devices = len(devices)
+        batch_size = batch_size or 512
+        if batch_size % n_devices:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {n_devices} devices"
+            )
+        mesh = Mesh(np.array(devices), ("data",))
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        n_in = 2 if arch == "multimodal" else 1
+        jit_fn = jax.jit(forward, in_shardings=(sharding,) * n_in,
+                         out_shardings=sharding)
+        # a sharded module is lowered for the exporting backend only
+        platforms = (jax.default_backend(),)
+
     if batch_size is None:
         (b,) = jexport.symbolic_shape("b")
     else:
         b = int(batch_size)
-    x_spec = jax.ShapeDtypeStruct((b, n_samples, n_leads), np.float32)
+    x_spec = jax.ShapeDtypeStruct((b, n_samples, n_leads), np.float32,
+                                  sharding=sharding)
     export_fn = jexport.export(
-        jax.jit(forward), platforms=tuple(platforms), disabled_checks=disabled_checks
+        jit_fn, platforms=tuple(platforms), disabled_checks=disabled_checks
     )
     if arch == "multimodal":
-        d_spec = jax.ShapeDtypeStruct((b, 5), np.float32)
+        d_spec = jax.ShapeDtypeStruct((b, 5), np.float32, sharding=sharding)
         exported = export_fn(x_spec, d_spec)
     else:
         exported = export_fn(x_spec)
@@ -222,6 +254,8 @@ def export_serving_artifact(
         "with_cam": with_cam,
         "engine": engine,
         "batch_size": batch_size,
+        "data_parallel": data_parallel,
+        "n_devices": n_devices,
     }
     meta_bytes = json.dumps(meta).encode()
     tmp = out_path + ".tmp"
@@ -260,6 +294,20 @@ class ServingModel:
         self.n_leads: int = self.meta["n_leads"]
         self.with_cam: bool = bool(self.meta.get("with_cam", False))
         self.batch_size: Optional[int] = self.meta.get("batch_size")  # None = symbolic
+        self._sharding = None
+        if self.meta.get("data_parallel"):
+            import jax
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            n = int(self.meta["n_devices"])
+            devices = jax.devices()
+            if len(devices) < n:
+                raise ValueError(
+                    f"artifact was exported for {n} devices; only "
+                    f"{len(devices)} visible"
+                )
+            mesh = Mesh(np.array(devices[:n]), ("data",))
+            self._sharding = NamedSharding(mesh, PartitionSpec("data"))
 
     def _canon(self, signals: np.ndarray) -> np.ndarray:
         x = np.asarray(signals, dtype=np.float32)
@@ -275,6 +323,12 @@ class ServingModel:
         return x
 
     def _call_exact(self, x: np.ndarray, d: Optional[np.ndarray]):
+        if self._sharding is not None:
+            import jax
+
+            x = jax.device_put(x, self._sharding)
+            if d is not None:
+                d = jax.device_put(d, self._sharding)
         if self.arch == "multimodal":
             return self._exported.call(x, d)
         return self._exported.call(x)

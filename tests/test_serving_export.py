@@ -132,3 +132,33 @@ def test_pallas_engine_rejects_with_cam(tmp_path):
     with pytest.raises(ValueError, match="pallas"):
         export_serving_artifact(BASELINE_CKPT, str(tmp_path / "x"),
                                 engine="pallas", with_cam=True)
+
+
+def test_data_parallel_artifact_8_devices(tmp_path):
+    """DP artifact embeds the GSPMD sharding; serves on the same mesh size."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    path = str(tmp_path / "dp.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, path, data_parallel=True,
+                            batch_size=8)
+    model = ServingModel(path)
+    assert model.meta["n_devices"] == len(jax.devices())
+    assert model.batch_size == 8
+
+    ecg, _ = _demo_batch("single")  # 7 -> padded to one 8-chunk
+    got = model(ecg)
+    ref = Predictor.from_checkpoint(BASELINE_CKPT, engine="xla")(ecg)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_data_parallel_rejects_indivisible_batch(tmp_path):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    with pytest.raises(ValueError, match="divisible"):
+        export_serving_artifact(BASELINE_CKPT, str(tmp_path / "x"),
+                                data_parallel=True,
+                                batch_size=len(jax.devices()) * 2 + 1)
