@@ -13,7 +13,8 @@ needs — and a bit more — directly:
   ``wfdb.rdsamp``'s default ``smooth_frames=True``) and per-signal ``skew``
 * physical conversion ``(adc - baseline) / gain`` with WFDB missing-sample
   sentinel -> NaN, matching wfdb.rdsamp numerics
-* format-16 writing (used to build hermetic test fixtures)
+* record writing in every standard format (used to build hermetic test
+  fixtures and to round-trip-test each decoder against its encoder)
 
 Support matrix (vs the full WFDB spec / wfdb-python):
 
@@ -406,8 +407,141 @@ def rdsamp(record_path: str) -> Tuple[np.ndarray, WFDBHeader]:
 
 
 # ----------------------------------------------------------------------------
-# Writing (format 16 only) — used to generate hermetic synthetic fixtures.
+# Writing (every standard format) — generates hermetic synthetic fixtures and
+# closes the decode loop: each decoder is round-trip-tested against its
+# encoder on top of the hand-packed spec vectors.
 # ----------------------------------------------------------------------------
+
+# Writable amplitude range per format, one LSB inside the missing sentinel.
+_WRITE_RANGE = {
+    8: (-(2**31) + 1, 2**31 - 1),  # amplitudes; the DIFFS must fit int8
+    16: (-32767, 32767),
+    61: (-32767, 32767),
+    160: (-32767, 32767),
+    24: (-(2**23) + 1, 2**23 - 1),
+    32: (-(2**31) + 1, 2**31 - 1),
+    80: (-127, 127),
+    212: (-2047, 2047),
+    310: (-511, 511),
+    311: (-511, 511),
+}
+
+
+def _encode_fmt212(flat: np.ndarray) -> bytes:
+    total = len(flat)
+    padded = np.concatenate([flat, np.zeros(total % 2, dtype=np.int64)])
+    u = padded.astype(np.int64) & 0xFFF
+    s1, s2 = u[0::2], u[1::2]
+    out = np.empty(len(s1) * 3, dtype=np.uint8)
+    out[0::3] = s1 & 0xFF
+    out[1::3] = ((s1 >> 8) & 0x0F) | (((s2 >> 8) & 0x0F) << 4)
+    out[2::3] = s2 & 0xFF
+    # spec: an odd total stores ceil(1.5 * total) bytes (truncated final triplet)
+    return out.tobytes()[: (total * 3 + 1) // 2]
+
+
+def _encode_fmt310(flat: np.ndarray) -> bytes:
+    total = len(flat)
+    padded = np.concatenate([flat, np.zeros((-total) % 3, dtype=np.int64)])
+    u = padded.astype(np.int64) & 0x3FF
+    s1, s2, s3 = u[0::3], u[1::3], u[2::3]
+    w = np.empty(len(s1) * 2, dtype=np.uint16)
+    w[0::2] = ((s1 << 1) | ((s3 & 0x1F) << 11)).astype(np.uint16)
+    w[1::2] = ((s2 << 1) | (((s3 >> 5) & 0x1F) << 11)).astype(np.uint16)
+    return w.astype("<u2").tobytes()
+
+
+def _encode_fmt311(flat: np.ndarray) -> bytes:
+    total = len(flat)
+    padded = np.concatenate([flat, np.zeros((-total) % 3, dtype=np.int64)])
+    u = padded.astype(np.int64) & 0x3FF
+    w = u[0::3] | (u[1::3] << 10) | (u[2::3] << 20)
+    return w.astype("<u4").tobytes()
+
+
+def _encode_fmt24(flat: np.ndarray) -> bytes:
+    u = flat.astype(np.int64) & 0xFFFFFF
+    out = np.empty(len(flat) * 3, dtype=np.uint8)
+    out[0::3] = u & 0xFF
+    out[1::3] = (u >> 8) & 0xFF
+    out[2::3] = (u >> 16) & 0xFF
+    return out.tobytes()
+
+
+_ENCODERS = {
+    16: lambda flat: flat.astype("<i2").tobytes(),
+    61: lambda flat: flat.astype(">i2").tobytes(),
+    160: lambda flat: (flat + 32768).astype("<u2").tobytes(),
+    32: lambda flat: flat.astype("<i4").tobytes(),
+    80: lambda flat: (flat + 128).astype(np.uint8).tobytes(),
+    24: _encode_fmt24,
+    212: _encode_fmt212,
+    310: _encode_fmt310,
+    311: _encode_fmt311,
+}
+
+
+def write_record(
+    record_path: str,
+    physical: np.ndarray,
+    fs: float = 500.0,
+    fmt: int = 16,
+    gain: float = 1000.0,
+    baseline: int = 0,
+    units: str = "mV",
+    descriptions: Optional[List[str]] = None,
+) -> None:
+    """Write ``physical`` ``[T, n_sig]`` as a WFDB record in any standard
+    format (one .dat, samps_per_frame 1, no skew).
+
+    fmt 8 stores first differences: the signal's successive ADC steps must
+    each fit in int8 (raises otherwise); sample 0's stored difference is 0
+    and ``init_value`` carries its amplitude (signal(5) semantics, matching
+    :func:`_reconstruct_fmt8`)."""
+    if fmt not in _WRITE_RANGE:
+        raise NotImplementedError(f"WFDB write format {fmt} not supported")
+    T, n_sig = physical.shape
+    lo, hi = _WRITE_RANGE[fmt]
+    adc = np.clip(np.rint(physical * gain + baseline), lo, hi).astype(np.int64)
+
+    if fmt == 8:
+        diffs = np.diff(np.concatenate([adc[:1], adc], axis=0), axis=0)
+        if diffs.min() < -128 or diffs.max() > 127:
+            raise ValueError(
+                "fmt 8 requires successive ADC differences within int8; "
+                f"got [{diffs.min()}, {diffs.max()}]"
+            )
+        stored = diffs
+    else:
+        stored = adc
+
+    rec_name = os.path.basename(record_path)
+    dat_name = rec_name + ".dat"
+    os.makedirs(os.path.dirname(record_path) or ".", exist_ok=True)
+    flat = stored.reshape(-1)  # frame-interleaved (row-major [T, n_sig])
+    with open(record_path + ".dat", "wb") as f:
+        if fmt == 8:
+            f.write(flat.astype(np.int8).tobytes())
+        else:
+            f.write(_ENCODERS[fmt](flat))
+
+    if descriptions is None:
+        descriptions = [f"sig{c}" for c in range(n_sig)]
+
+    adc_res = {80: 8, 8: 8, 212: 12, 310: 10, 311: 10, 24: 24, 32: 32}.get(fmt, 16)
+    lines = [f"{rec_name} {n_sig} {fs:g} {T}"]
+    for c in range(n_sig):
+        # 16-bit signed checksum of each signal's stored samples
+        cks = int(np.sum(stored[:, c]) & 0xFFFF)
+        if cks >= 32768:
+            cks -= 65536
+        init = int(adc[0, c]) if T else 0
+        lines.append(
+            f"{dat_name} {fmt} {gain:g}({baseline})/{units} {adc_res} 0 {init} {cks} 0 {descriptions[c]}"
+        )
+    with open(record_path + ".hea", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
 
 def write_record_fmt16(
     record_path: str,
@@ -419,29 +553,5 @@ def write_record_fmt16(
     descriptions: Optional[List[str]] = None,
 ) -> None:
     """Write ``physical`` ``[T, n_sig]`` as a format-16 WFDB record."""
-    T, n_sig = physical.shape
-    adc = np.rint(physical * gain + baseline)
-    adc = np.clip(adc, -32767, 32767).astype(np.int16)
-
-    rec_name = os.path.basename(record_path)
-    dat_name = rec_name + ".dat"
-
-    os.makedirs(os.path.dirname(record_path) or ".", exist_ok=True)
-    with open(record_path + ".dat", "wb") as f:
-        f.write(adc.astype("<i2").tobytes())
-
-    if descriptions is None:
-        descriptions = [f"sig{c}" for c in range(n_sig)]
-
-    # 16-bit signed checksum of all samples of each signal
-    lines = [f"{rec_name} {n_sig} {fs:g} {T}"]
-    for c in range(n_sig):
-        cks = int(np.sum(adc[:, c].astype(np.int64)) & 0xFFFF)
-        if cks >= 32768:
-            cks -= 65536
-        init = int(adc[0, c]) if T else 0
-        lines.append(
-            f"{dat_name} 16 {gain:g}({baseline})/{units} 16 0 {init} {cks} 0 {descriptions[c]}"
-        )
-    with open(record_path + ".hea", "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+    write_record(record_path, physical, fs=fs, fmt=16, gain=gain,
+                 baseline=baseline, units=units, descriptions=descriptions)

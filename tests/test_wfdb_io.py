@@ -269,3 +269,41 @@ def test_gain_zero_defaults(tmp_path):
     open(rec + ".hea", "w").write("\n".join(lines) + "\n")
     h = read_header(rec)
     assert h.signals[0].gain == 200.0
+
+
+@pytest.mark.parametrize("fmt", [8, 16, 24, 32, 61, 80, 160, 212, 310, 311])
+def test_write_read_roundtrip_all_formats(tmp_path, fmt):
+    """Encoder/decoder round-trip for every standard format, odd T included."""
+    from ptbxl_tpu.io.wfdb_io import write_record
+
+    rng = np.random.default_rng(fmt)
+    T, n_sig = 257, 3  # odd sample count exercises packed-format tails
+    # smooth signals normalized to |x| <= 1 so a per-format gain keeps the
+    # ADC inside the narrow ranges (80: +-127, 310/311: +-511) AND keeps
+    # fmt 8's successive differences inside int8
+    sig = np.cumsum(rng.uniform(-0.05, 0.05, size=(T, n_sig)), axis=0)
+    sig /= max(1.0, np.max(np.abs(sig)))
+    gain = {80: 100.0, 310: 400.0, 311: 400.0}.get(fmt, 1000.0)
+    rec = str(tmp_path / f"rt{fmt}")
+    write_record(rec, sig, fmt=fmt, gain=gain, baseline=3)
+
+    phys, header = rdsamp(rec)
+    assert header.signals[0].fmt == fmt
+    assert phys.shape == (T, n_sig)
+    # quantization error bounded by half an ADC step
+    assert np.max(np.abs(phys - sig)) <= 0.5 / gain + 1e-9
+
+
+def test_write_fmt8_rejects_fast_slew(tmp_path):
+    from ptbxl_tpu.io.wfdb_io import write_record
+
+    sig = np.array([[0.0], [10.0]])  # ADC step 10000 >> int8
+    with pytest.raises(ValueError, match="int8"):
+        write_record(str(tmp_path / "slew"), sig, fmt=8, gain=1000.0)
+
+
+def test_write_unsupported_format_raises(tmp_path):
+    from ptbxl_tpu.io.wfdb_io import write_record
+
+    with pytest.raises(NotImplementedError):
+        write_record(str(tmp_path / "w999"), np.zeros((4, 1)), fmt=999)
