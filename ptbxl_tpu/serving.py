@@ -368,3 +368,50 @@ class ServingModel:
 
 def load_serving_artifact(path: str) -> ServingModel:
     return ServingModel(path)
+
+
+def _main(argv: Optional[Sequence[str]] = None) -> int:
+    """CLI: ``python -m ptbxl_tpu.serving export|info ...``."""
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="python -m ptbxl_tpu.serving")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("export", help="export a checkpoint to a serving artifact")
+    pe.add_argument("ckpt")
+    pe.add_argument("out")
+    pe.add_argument("--arch", default="ecgcnn", choices=["ecgcnn", "multimodal"])
+    pe.add_argument("--num_labels", type=int, default=5)
+    pe.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    pe.add_argument("--precision", default="highest", choices=["highest", "default"])
+    pe.add_argument("--batch_size", type=int, default=None)
+    pe.add_argument("--with_cam", action="store_true")
+    pe.add_argument("--data_parallel", action="store_true")
+    pe.add_argument("--no_normalize", action="store_true")
+    pe.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering platforms")
+
+    pi = sub.add_parser("info", help="print an artifact's embedded contract")
+    pi.add_argument("artifact")
+
+    args = parser.parse_args(argv)
+    if args.cmd == "export":
+        out = export_serving_artifact(
+            args.ckpt, args.out, arch=args.arch, num_labels=args.num_labels,
+            normalize=not args.no_normalize, precision=args.precision,
+            platforms=tuple(args.platforms.split(",")), with_cam=args.with_cam,
+            engine=args.engine, batch_size=args.batch_size,
+            data_parallel=args.data_parallel,
+        )
+        print(f"[SAVE] serving artifact: {out}")
+    else:
+        with open(args.artifact, "rb") as f:
+            if f.read(len(_MAGIC)) != _MAGIC:
+                raise SystemExit(f"{args.artifact} is not a serving artifact")
+            (meta_len,) = struct.unpack("<Q", f.read(8))
+            print(json.dumps(json.loads(f.read(meta_len).decode()), indent=2))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - thin CLI shim
+    raise SystemExit(_main())

@@ -162,3 +162,19 @@ def test_data_parallel_rejects_indivisible_batch(tmp_path):
         export_serving_artifact(BASELINE_CKPT, str(tmp_path / "x"),
                                 data_parallel=True,
                                 batch_size=len(jax.devices()) * 2 + 1)
+
+
+def test_serving_cli_export_and_info(tmp_path, capsys):
+    from ptbxl_tpu.serving import _main
+
+    out = str(tmp_path / "cli.stablehlo")
+    assert _main(["export", BASELINE_CKPT, out, "--platforms", "cpu",
+                  "--batch_size", "4"]) == 0
+    assert os.path.exists(out)
+    assert _main(["info", out]) == 0
+    captured = capsys.readouterr().out
+    assert '"batch_size": 4' in captured and '"arch": "ecgcnn"' in captured
+
+    ecg, _ = _demo_batch("single")
+    probs = ServingModel(out)(ecg[:2])
+    assert probs.shape == (2, 5)
