@@ -344,6 +344,11 @@ class ServingModel:
             d = np.asarray(demo, dtype=np.float32)
             if d.ndim == 1:
                 d = d[None]
+            if d.shape != (x.shape[0], 5):
+                raise ValueError(
+                    f"demo must be [N, 5] matching signals N={x.shape[0]}; "
+                    f"got {d.shape}"
+                )
 
         if self.batch_size is None:  # symbolic batch: one call, any N
             out = self._call_exact(x, d)
