@@ -21,25 +21,44 @@ _lib = None
 _build_failed = False
 
 
+def _make() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-B", "-C", _CSRC], check=True, capture_output=True, timeout=120
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _CSRC], check=True, capture_output=True, timeout=120
-            )
-        except Exception:
-            _build_failed = True
-            return None
+    if not os.path.exists(_LIB_PATH) and not _make():
+        _build_failed = True
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         _build_failed = True
         return None
+    if not hasattr(lib, "wfdb_gather_rows"):
+        # stale prebuilt .so from before the gather entry point: rebuild once
+        del lib
+        if not _make():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        if not hasattr(lib, "wfdb_gather_rows"):
+            _build_failed = True
+            return None
 
     lib.wfdb_decode_batch_fmt16.restype = ctypes.c_int
     lib.wfdb_decode_batch_fmt16.argtypes = [

