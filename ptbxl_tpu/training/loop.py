@@ -198,19 +198,29 @@ def predict_all(
     state: TrainState,
     eval_step: Callable,
     batches: Iterator[Dict],
+    loss_mode: str = "per_sample",
 ) -> Tuple[np.ndarray, np.ndarray, float]:
-    """Full-split inference -> (y_true, y_prob, dataset-mean bce loss).
+    """Full-split inference -> (y_true, y_prob, mean bce loss).
 
     Used by the test scripts 06/07/08 to dump per-sample prediction CSVs.
+    ``loss_mode`` matches the epoch loops: 'per_sample' is the dataset mean
+    (scripts 06/08); 'per_batch' is the unweighted mean of batch means — the
+    multimodal quirk (reference: scripts/07:94-106 via loop_demo.py:40-43).
     """
-    probs_list, y_list, losses = [], [], []
+    probs_list, y_list, losses, batch_means = [], [], [], []
     for batch in batches:
         probs, per_sample = eval_step(state, batch)
         mask = np.asarray(batch["mask"]).astype(bool)
         probs_list.append(np.asarray(probs)[mask])
         y_list.append(np.asarray(batch["y"])[mask])
-        losses.append(np.asarray(per_sample)[mask])
+        kept = np.asarray(per_sample)[mask]
+        losses.append(kept)
+        if mask.any():
+            batch_means.append(float(kept.mean()))
     y_true = np.concatenate(y_list, axis=0)
     y_prob = np.concatenate(probs_list, axis=0)
-    all_losses = np.concatenate(losses, axis=0)
-    return y_true, y_prob, float(all_losses.mean())
+    if loss_mode == "per_batch":
+        loss = float(np.mean(batch_means)) if batch_means else 0.0
+    else:
+        loss = float(np.concatenate(losses, axis=0).mean())
+    return y_true, y_prob, loss

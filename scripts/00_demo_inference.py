@@ -83,7 +83,7 @@ def main(args):
     fig_path = os.path.join("outputs/demo", f"{base_name}_gradcam_{class_name}.png")
 
     title = f"Demo Grad-CAM | {base_name} | class {class_name}"
-    if y_true is not None:
+    if y_true is not None and class_idx < len(y_true):
         title += f" | GT={int(y_true[class_idx])}"
 
     plot_ecg_with_cam(ecg=ecg_np, cam=cam, lead_idx=args.lead, title=title, save_path=fig_path)

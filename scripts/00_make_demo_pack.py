@@ -16,6 +16,10 @@ from ptbxl_tpu.data.demo_export import (  # noqa: E402
     pick_demo_indices,
     write_meta,
 )
+from ptbxl_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
 
 

@@ -12,12 +12,16 @@ sys.path.append(os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 from ptbxl_tpu.data import PTBXLECGMultimodalDataset  # noqa: E402
 from ptbxl_tpu.data.demo_export import export_npy_samples  # noqa: E402
+from ptbxl_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
 from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
 
 
 def main(args):
     set_seed(42)
-    classes = args.classes.split(",") if args.classes else ["MI", "STTC", "HYP", "CD", "NORM"]
+    classes = [c.strip() for c in args.classes.split(",") if c.strip()] or ["MI", "STTC", "HYP", "CD", "NORM"]
 
     ds = PTBXLECGMultimodalDataset(args.base_dir, split="test", classes=classes, normalize="per_lead")
     print(f"[INFO] PTBXLECGMultimodalDataset(test) size = {len(ds)}")

@@ -24,7 +24,7 @@ from ptbxl_tpu import config as C  # noqa: E402
 from ptbxl_tpu.data import PTBXLECGMultimodalDataset  # noqa: E402
 from ptbxl_tpu.data.pipeline import BatchSource, device_prefetch  # noqa: E402
 from ptbxl_tpu.models.factory import load_multimodal  # noqa: E402
-from ptbxl_tpu.training.loop import make_eval_step  # noqa: E402
+from ptbxl_tpu.training.loop import make_eval_step, predict_all  # noqa: E402
 from ptbxl_tpu.training.metrics import compute_metrics  # noqa: E402
 from ptbxl_tpu.training.train_state import create_train_state, make_optimizer  # noqa: E402
 from ptbxl_tpu.utils.rng import set_seed  # noqa: E402
@@ -69,17 +69,9 @@ def main():
     eval_step = make_eval_step(model, multimodal=True, normalize=normalize)
     src = BatchSource(test_ds, int(train_cfg.get("batch_size", 64)), shuffle=False)
 
-    probs_list, y_list, batch_losses = [], [], []
-    for batch in device_prefetch(src.epoch(0)):
-        probs, per_sample = eval_step(state, batch)
-        mask = np.asarray(batch["mask"]).astype(bool)
-        probs_list.append(np.asarray(probs)[mask])
-        y_list.append(np.asarray(batch["y"])[mask])
-        batch_losses.append(float(np.asarray(per_sample)[mask].mean()))
-
-    y_true = np.concatenate(y_list, axis=0)
-    y_prob = np.concatenate(probs_list, axis=0)
-    avg_loss = float(np.mean(batch_losses)) if batch_losses else 0.0
+    y_true, y_prob, avg_loss = predict_all(
+        state, eval_step, device_prefetch(src.epoch(0)), loss_mode="per_batch"
+    )
 
     metrics = compute_metrics(y_true, y_prob, threshold=args.threshold)
     metrics["bce_loss"] = avg_loss

@@ -38,7 +38,7 @@ def main(args):
     os.makedirs(out_dir, exist_ok=True)
 
     data_cfg = cfg["data"]
-    classes = data_cfg["labels"]
+    classes = C.get_classes(cfg)
     base_dir = C.get_base_dir(cfg)
 
     test_ds = PTBXLDataset(

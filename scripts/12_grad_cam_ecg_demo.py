@@ -37,7 +37,7 @@ def main(args):
     data_cfg = cfg["data"]
     model_cfg = C.model_cfg_multimodal(cfg)
     base_dir = C.get_base_dir(cfg)
-    classes = data_cfg["labels"]
+    classes = C.get_classes(cfg)
 
     test_ds = PTBXLECGMultimodalDataset(
         base_dir, split="test", classes=classes,
