@@ -197,6 +197,32 @@ def _build_hybrid():
     return forward, folded
 
 
+def _build_int8():
+    """PTQ int8 path: BN folded into convs, the MXU-saturated deep conv
+    quantized to int8 (XLA engages the int8 MXU modes — ~235 TOP/s vs
+    ~151 TF/s bf16 at that geometry; Mosaic does not.  ops/quant.py,
+    tools/probe_int8.py).  Early layers stay bf16: they are occupancy-bound
+    and their quantize passes cost more HBM traffic than they save."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.quant import make_quantized_forward, quantize_model, split_meta
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    if os.path.exists(ckpt):
+        variables, _ = load_npz(ckpt)
+    else:
+        m0 = ECGCNN(feat_dim=256, num_labels=5)
+        variables = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 12)))
+    q = quantize_model(variables, arch="ecgcnn")
+    arrs, n_blocks, layers = split_meta(q)
+    forward = make_quantized_forward(n_blocks, layers, arch="ecgcnn")
+    return forward, arrs
+
+
 def bench_inference(full=False):
     import jax
 
@@ -209,6 +235,7 @@ def bench_inference(full=False):
             ("xla", "highest", "f32", [512, 2048]),
             ("xla", None, "bf16", [512, 2048, 8192]),
             ("xla", None, "bf16_act", [8192, 16384]),
+            ("xla_int8", None, "int8", [8192, 16384]),
             ("pallas", None, "f32", [512, 2048]),
             ("hybrid", None, "bf16", [8192]),
         ]
@@ -216,8 +243,8 @@ def bench_inference(full=False):
         # headline mode: only the configurations that can win (the full
         # table, incl. the documented Pallas/hybrid rows, is under --full)
         configs = [
-            ("xla", None, "bf16", [8192]),
-            ("xla", None, "bf16_act", [8192, 16384]),
+            ("xla", None, "bf16_act", [16384]),
+            ("xla_int8", None, "int8", [8192, 16384]),
         ]
 
     best = None
@@ -227,6 +254,8 @@ def bench_inference(full=False):
                 forward, variables = _build_pallas(dtype_name)
             elif path == "hybrid":
                 forward, variables = _build_hybrid()
+            elif path == "xla_int8":
+                forward, variables = _build_int8()
             else:
                 forward, variables = _build(precision, dtype_name)
             ok, worst = _parity_check(forward, variables, f32_forward, f32_vars)
@@ -239,7 +268,9 @@ def bench_inference(full=False):
             # throughput and the dev tunnel's H2D is slow (~150 MB/s).
             # bf16_act also ships a bf16 wire batch (halved HBM footprint).
             import jax.numpy as _jnp
-            wire_dtype = _jnp.bfloat16 if dtype_name == "bf16_act" else jnp_dtype32()
+            wire_dtype = (
+                _jnp.bfloat16 if dtype_name in ("bf16_act", "int8") else jnp_dtype32()
+            )
             batch = jax.block_until_ready(
                 jax.jit(lambda d=wire_dtype: jax.random.normal(
                     jax.random.PRNGKey(0), (bs, 5000, 12), d))()

@@ -57,7 +57,9 @@ class Predictor:
         chunk_size: int = 512,
         normalize: bool = True,
         data_parallel: bool = False,
-        precision: str = "highest",  # 'highest' (f32 parity) | 'default' (bf16 MXU)
+        precision: str = "highest",  # 'highest' (f32) | 'default' (bf16) | 'int8'
+        calib_signals=None,
+        int8_layers=None,
     ):
         """``data_parallel=True`` shards each chunk's batch axis across all
         devices of a 1-D mesh (GSPMD inserts the collectives); params are
@@ -65,7 +67,15 @@ class Predictor:
 
         ``precision='default'`` runs the XLA engine with bf16 activations
         (~4.5x the parity path's throughput on v5e; probabilities within
-        ~1.5e-3 of f32 — the same configuration bench.py gates at <=5e-3)."""
+        ~1.5e-3 of f32 — the same configuration bench.py gates at <=5e-3).
+
+        ``precision='int8'`` additionally PTQ-quantizes the MXU-saturated
+        deep conv layer(s) to int8 (BN folded, per-channel scales; see
+        ops/quant.py) — ~1.25x the bf16 path on v5e at large chunk sizes,
+        max demo-pack prob delta ~1.3e-3 with the default ``int8_layers``.
+        ``calib_signals`` (raw [N,12,T] or [N,T,12]) override the bundled
+        demo-pack calibration set; ``int8_layers`` overrides which conv
+        layers are quantized (default: last only)."""
         self.variables = variables
         self.classes = classes
         self.chunk_size = chunk_size
@@ -74,8 +84,15 @@ class Predictor:
         self.arch = arch
         import jax.numpy as _jnp
 
-        model_precision = None if precision == "default" else precision
-        model_dtype = _jnp.bfloat16 if precision == "default" else _jnp.float32
+        if precision == "int8":
+            if engine == "pallas":
+                raise ValueError(
+                    "precision='int8' is an XLA-path feature (Mosaic does not "
+                    "engage int8 MXU modes on this backend, docs/ARCHITECTURE.md)"
+                )
+            engine = self.engine = "xla"
+        model_precision = None if precision in ("default", "int8") else precision
+        model_dtype = _jnp.bfloat16 if precision in ("default", "int8") else _jnp.float32
         if arch == "multimodal":
             self.model = ECGMultimodal(
                 feat_dim=feat_dim, num_labels=num_labels,
@@ -107,8 +124,38 @@ class Predictor:
             if engine != "xla":
                 raise ValueError("data_parallel currently supports engine='xla'")
 
+        self._quant_forward = None
+        if precision == "int8":
+            from ptbxl_tpu.ops.quant import (
+                DEFAULT_INT8_LAYERS,
+                make_quantized_forward,
+                quantize_model,
+                split_meta,
+            )
+
+            layers = tuple(int8_layers) if int8_layers is not None else DEFAULT_INT8_LAYERS
+            q = quantize_model(
+                variables, arch=arch, calib_signals=calib_signals,
+                int8_layers=layers, normalize=normalize,
+            )
+            arrs, n_blocks, layers = split_meta(q)
+            if self._batch_sharding is not None:
+                from ptbxl_tpu.parallel.mesh import replicated_sharding
+
+                arrs = jax.device_put(
+                    arrs, replicated_sharding(self._batch_sharding.mesh)
+                )
+            self._q_arrs = arrs
+            self._quant_forward = jax.jit(
+                make_quantized_forward(n_blocks, layers, arch=arch, normalize=normalize)
+            )
+
         self._folded = None
-        if engine in ("auto", "pallas") and self._batch_sharding is None:
+        if (
+            engine in ("auto", "pallas")
+            and self._batch_sharding is None
+            and precision != "int8"
+        ):
             try:
                 from ptbxl_tpu.ops.pallas.fused_ecgcnn import (
                     fold_bn_into_conv,
@@ -158,7 +205,7 @@ class Predictor:
             x = jax.device_put(x, self._batch_sharding)
             if d is not None:
                 d = jax.device_put(d, self._batch_sharding)
-        elif self._use_pallas(x.shape[0]):
+        elif self._quant_forward is None and self._use_pallas(x.shape[0]):
             from ptbxl_tpu.ops.pallas.fused_ecgcnn import (
                 fused_ecgcnn_probs,
                 fused_multimodal_probs,
@@ -167,6 +214,10 @@ class Predictor:
             if self.arch == "multimodal":
                 return fused_multimodal_probs(x, d, self._folded, normalize=self.normalize)
             return fused_ecgcnn_probs(x, self._folded, normalize=self.normalize)
+        if self._quant_forward is not None:
+            if self.arch == "multimodal":
+                return self._quant_forward(self._q_arrs, x, d)
+            return self._quant_forward(self._q_arrs, x)
         if self.arch == "multimodal":
             return self._xla_forward(self.variables, x, d)
         return self._xla_forward(self.variables, x)

@@ -1,0 +1,248 @@
+"""Post-training int8 quantization for the ECG conv stack (inference only).
+
+TPU-native rationale (measured on v5e, tools/probe_int8.py): XLA's conv
+emitter engages the int8 MXU modes (~235 TOP/s at the deep-layer geometry vs
+~151 TF/s bf16 in the same chained harness) even though Mosaic/Pallas does
+not (docs/ARCHITECTURE.md).  Quantization is therefore an *XLA-path* feature.
+
+Design (tools/proto_int8.py sweep, bs 8192-16384):
+
+* **Mixed per-layer precision, default int8 on the last conv only.**  Only
+  the MXU-saturated deep layer (128->256, T=625) wins from int8; the early
+  layers are occupancy-bound (Cout < 128 lanes), so their quantize passes
+  cost more HBM traffic than the faster matmul saves.  Measured: L3-only
+  123.5k rec/s vs 99.4k all-bf16 vs 112.2k all-int8 (bs 8192/16384).
+* **Per-input-channel activation scales folded into the weights.**  The conv
+  sum x_q[cin]*sx[cin]*w[k,cin,cout] lets sx fold into w *before* per-output
+  -channel weight quantization, so per-channel activation quantization costs
+  nothing at runtime.  Absmax calibration (no percentile clipping — the
+  spiky tails of z-scored ECG carry signal; clipping was measured worse).
+* BatchNorm is folded into conv weights first (inference running stats).
+* Epilogue (dequant scale + bias + ReLU + maxpool) stays bf16 elementwise;
+  requantization for the next int8 layer fuses into the previous pool.
+
+Accuracy (demo-pack oracle vs the f32 parity path): L3-only max|dprob|
+1.3e-3 — the same class as the bf16 headline path (1.4e-3), inside the
+bench.py <=5e-3 gate.  All-int8 degrades to 7.6e-3 and is slower; not used.
+
+The reference has no quantization story at all (pure f32 torch inference,
+/root/reference/scripts/06_ecg_baseline_test.py:94-106); this is a
+framework-level capability addition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+
+# Default mixed-precision config: int8 only where it wins (see module doc).
+DEFAULT_INT8_LAYERS: Tuple[int, ...] = (3,)
+
+_MM_DENSE = ("fc1", "fc2", "film", "head")
+
+
+def folded_layer_inputs(folded: Dict[str, Any], x: jnp.ndarray) -> list:
+    """f32 inputs of each conv layer of the BN-folded stack (calibration).
+
+    ``x`` must already be z-scored if the serving path normalizes.
+    Returns ``taps`` with ``taps[i]`` = input to conv ``i``.
+    """
+    taps = [x]
+    h = x.astype(jnp.float32)
+    for i in range(folded["n_blocks"]):
+        w = jnp.asarray(folded[f"w{i}"], jnp.float32)
+        b = jnp.asarray(folded[f"b{i}"], jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            h, w, window_strides=(1,), padding=[(7, 7)],
+            dimension_numbers=("NHC", "HIO", "NHC"), precision="highest",
+        )
+        h = jnp.maximum(y + b[None, None, :], 0.0)
+        h = jax.lax.reduce_window(
+            h, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID"
+        )
+        taps.append(h)
+    return taps
+
+
+def calibrate_act_scales(
+    folded: Dict[str, Any],
+    x_calib: jnp.ndarray,
+    int8_layers: Sequence[int] = DEFAULT_INT8_LAYERS,
+) -> Dict[int, np.ndarray]:
+    """Per-input-channel absmax scales for each int8 layer's input.
+
+    ``x_calib``: [N, T, 12] z-scored calibration signals (channels-last).
+    """
+    need = set(int8_layers)
+    taps = folded_layer_inputs(folded, x_calib)
+    scales = {}
+    for i in need:
+        a = np.abs(np.asarray(taps[i]))  # [N, T, Cin]
+        amax = a.max(axis=(0, 1))
+        scales[i] = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+    return scales
+
+
+def quantize_folded(
+    folded: Dict[str, Any],
+    act_scales: Dict[int, np.ndarray],
+    int8_layers: Sequence[int] = DEFAULT_INT8_LAYERS,
+) -> Dict[str, Any]:
+    """Quantize selected conv layers of a BN-folded param dict.
+
+    Returns a new dict: int8 layers get ``w{i}`` int8 [K,Cin,Cout] (with the
+    activation scale folded in), ``sw{i}`` f32 [Cout] dequant scales and
+    ``sx{i}`` f32 [Cin] activation scales; other layers keep bf16 weights.
+    Dense tails are passed through unchanged.
+    """
+    q: Dict[str, Any] = {"n_blocks": folded["n_blocks"],
+                         "int8_layers": tuple(sorted(int8_layers))}
+    for i in range(folded["n_blocks"]):
+        w = np.asarray(folded[f"w{i}"], np.float32)
+        b = np.asarray(folded[f"b{i}"], np.float32)
+        if i in act_scales:
+            sx = np.asarray(act_scales[i], np.float32)  # [Cin]
+            wf = w * sx[None, :, None]
+            sw = np.maximum(np.abs(wf).max(axis=(0, 1)) / 127.0, 1e-12)
+            q[f"w{i}"] = jnp.asarray(
+                np.clip(np.round(wf / sw), -127, 127), jnp.int8
+            )
+            q[f"sw{i}"] = jnp.asarray(sw, jnp.float32)
+            q[f"sx{i}"] = jnp.asarray(sx, jnp.float32)
+        else:
+            q[f"w{i}"] = jnp.asarray(w, jnp.bfloat16)
+        q[f"b{i}"] = jnp.asarray(b, jnp.float32)
+    for k, v in folded.items():
+        if k.endswith("_w") or k.endswith("_b"):
+            q[k] = jnp.asarray(v, jnp.float32)
+    return q
+
+
+def _conv_stack(
+    q: Dict[str, Any], h: jnp.ndarray, n_blocks: int, int8_layers: Tuple[int, ...]
+) -> jnp.ndarray:
+    """Mixed int8/bf16 conv stack: h [B, T, 12] z-scored -> [B, T', C_last]."""
+    for i in range(n_blocks):
+        if i in int8_layers:
+            xq = jnp.clip(jnp.round(h.astype(jnp.float32) / q[f"sx{i}"]),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, q[f"w{i}"], window_strides=(1,), padding=[(7, 7)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.int32,
+            )
+            hs = y.astype(jnp.bfloat16) * q[f"sw{i}"].astype(jnp.bfloat16)
+        else:
+            y = jax.lax.conv_general_dilated(
+                h.astype(jnp.bfloat16), q[f"w{i}"].astype(jnp.bfloat16),
+                window_strides=(1,), padding=[(7, 7)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32,
+            )
+            hs = y.astype(jnp.bfloat16)
+        h = jnp.maximum(hs + q[f"b{i}"].astype(jnp.bfloat16), 0.0)
+        h = jax.lax.reduce_window(
+            h, jnp.asarray(-jnp.inf, h.dtype), jax.lax.max,
+            (1, 2, 1), (1, 2, 1), "VALID",
+        )
+    return h
+
+
+def split_meta(q: Dict[str, Any]) -> Tuple[Dict[str, Any], int, Tuple[int, ...]]:
+    """Split a quantize_folded() dict into (array pytree, n_blocks, int8_layers)."""
+    arrs = {k: v for k, v in q.items() if hasattr(v, "shape")}
+    return arrs, q["n_blocks"], q["int8_layers"]
+
+
+def make_quantized_forward(
+    n_blocks: int,
+    int8_layers: Tuple[int, ...],
+    arch: str = "ecgcnn",
+    normalize: bool = True,
+):
+    """Build ``fwd(arrs, x[, demo]) -> probs`` for the quantized stack.
+
+    ``arrs`` is the array-only pytree from :func:`split_meta`; the static
+    meta is bound here so the result is directly jittable.
+    """
+
+    def ecg_z(q, h):
+        g = jnp.mean(h.astype(jnp.float32), axis=1)
+        return g @ q["proj_w"] + q["proj_b"]
+
+    if arch == "multimodal":
+
+        def fwd(q, x, demo):
+            h = zscore_per_lead_batch(x.astype(jnp.float32)) if normalize else x
+            z = ecg_z(q, _conv_stack(q, h, n_blocks, int8_layers))
+            d = jnp.asarray(demo, jnp.float32)
+            e = jnp.maximum(d @ q["fc1_w"] + q["fc1_b"], 0.0)
+            e = jnp.maximum(e @ q["fc2_w"] + q["fc2_b"], 0.0)
+            film = e @ q["film_w"] + q["film_b"]
+            gamma, beta = jnp.split(film, 2, axis=-1)
+            z = (1.0 + jnp.tanh(gamma)) * z + beta
+            logits = z @ q["head_w"] + q["head_b"]
+            return jax.nn.sigmoid(logits)
+
+    else:
+
+        def fwd(q, x):
+            h = zscore_per_lead_batch(x.astype(jnp.float32)) if normalize else x
+            z = ecg_z(q, _conv_stack(q, h, n_blocks, int8_layers))
+            logits = z @ q["head_w"] + q["head_b"]
+            return jax.nn.sigmoid(logits)
+
+    return fwd
+
+
+def default_calib_signals(n: Optional[int] = None) -> np.ndarray:
+    """Bundled demo-pack ECGs as the default calibration set: [N, T, 12]."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    files = sorted(glob.glob(os.path.join(root, "data", "demo", "single", "*.npz")))
+    if not files:
+        raise FileNotFoundError(
+            "no bundled demo pack found for int8 calibration; pass calib_signals"
+        )
+    ecgs = [np.load(f, allow_pickle=True)["ecg"].T for f in files[: n or len(files)]]
+    return np.stack(ecgs).astype(np.float32)
+
+
+def quantize_model(
+    variables: Dict[str, Any],
+    arch: str = "ecgcnn",
+    calib_signals: Optional[np.ndarray] = None,
+    int8_layers: Sequence[int] = DEFAULT_INT8_LAYERS,
+    normalize: bool = True,
+) -> Dict[str, Any]:
+    """One-call PTQ: fold BN, calibrate, quantize. Returns the q-param dict.
+
+    ``calib_signals``: raw [N, 12, T] or [N, T, 12] signals; defaults to the
+    bundled demo pack.  They are z-scored iff the serving path normalizes.
+    """
+    from ptbxl_tpu.ops.pallas.fused_ecgcnn import fold_bn_into_conv, fold_multimodal
+
+    fold = fold_multimodal if arch == "multimodal" else fold_bn_into_conv
+    folded = fold(variables)
+
+    x = np.asarray(
+        calib_signals if calib_signals is not None else default_calib_signals(),
+        np.float32,
+    )
+    if x.ndim == 2:
+        x = x[None]
+    if x.shape[1] == 12 and x.shape[2] != 12:
+        x = x.transpose(0, 2, 1)
+    xj = jnp.asarray(x)
+    if normalize:
+        xj = zscore_per_lead_batch(xj)
+    scales = calibrate_act_scales(folded, xj, int8_layers)
+    return quantize_folded(folded, scales, int8_layers)

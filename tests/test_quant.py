@@ -1,0 +1,152 @@
+"""PTQ int8 inference path (ops/quant.py + Predictor precision='int8').
+
+The reference has no quantization capability (pure f32 torch inference,
+/root/reference/scripts/06_ecg_baseline_test.py:94-106); this is a
+framework-level addition, quality-gated against the f32 parity path on the
+bundled demo pack exactly like the bf16 serving path (bench.py <=5e-3).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from ptbxl_tpu.inference import Predictor  # noqa: E402
+from ptbxl_tpu.ops.quant import (  # noqa: E402
+    DEFAULT_INT8_LAYERS,
+    calibrate_act_scales,
+    default_calib_signals,
+    quantize_folded,
+)
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(HERE, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+MM_CKPT = os.path.join(HERE, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz")
+AF_CKPT = os.path.join(HERE, "outputs/af_binary/ckpts/af_binary_best.npz")
+
+
+def _demo_sigs():
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/single/*.npz")))
+    return np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+
+
+def _tiny_folded(rng, n_blocks=2, chans=(8, 16), cin0=4):
+    folded = {"n_blocks": n_blocks}
+    cin = cin0
+    for i, cout in enumerate(chans):
+        folded[f"w{i}"] = rng.standard_normal((15, cin, cout)).astype(np.float32)
+        folded[f"b{i}"] = rng.standard_normal((cout,)).astype(np.float32)
+        cin = cout
+    folded["proj_w"] = rng.standard_normal((chans[-1], 8)).astype(np.float32)
+    folded["proj_b"] = np.zeros(8, np.float32)
+    folded["head_w"] = rng.standard_normal((8, 3)).astype(np.float32)
+    folded["head_b"] = np.zeros(3, np.float32)
+    return folded
+
+
+def test_quantize_folded_roundtrip(rng):
+    folded = _tiny_folded(rng)
+    scales = {1: np.full(8, 0.05, np.float32)}  # quantize layer 1 only
+    q = quantize_folded(folded, scales, int8_layers=(1,))
+
+    assert q["int8_layers"] == (1,)
+    # non-quantized layer keeps high-precision weights
+    assert q["w0"].dtype == jax.numpy.bfloat16
+    # quantized layer: int8 weights, symmetric range
+    w1 = np.asarray(q["w1"])
+    assert w1.dtype == np.int8 and np.abs(w1).max() <= 127
+    # dequantized weights reproduce w*sx within half a quantization step
+    sw = np.asarray(q["sw1"])
+    wf = folded["w1"] * scales[1][None, :, None]
+    err = np.abs(w1.astype(np.float32) * sw[None, None, :] - wf)
+    assert err.max() <= (sw.max() / 2) + 1e-7
+    # at least one channel uses the full int8 range (absmax calibration)
+    assert np.abs(w1).max() == 127
+
+
+def test_calibration_per_channel_shapes(rng):
+    folded = _tiny_folded(rng)
+    x = jax.numpy.asarray(rng.standard_normal((2, 64, 4)).astype(np.float32))
+    scales = calibrate_act_scales(folded, x, int8_layers=(0, 1))
+    assert set(scales) == {0, 1}
+    assert scales[0].shape == (4,) and scales[1].shape == (8,)
+    assert (scales[0] > 0).all() and (scales[1] > 0).all()
+    # absmax semantics: scale*127 equals the per-channel max of the input
+    np.testing.assert_allclose(
+        scales[0] * 127.0, np.abs(np.asarray(x)).max(axis=(0, 1)), rtol=1e-5
+    )
+
+
+def test_default_calib_signals_shape():
+    x = default_calib_signals()
+    assert x.ndim == 3 and x.shape[1:] == (5000, 12) and x.dtype == np.float32
+
+
+def test_int8_predictor_baseline_gate():
+    """precision='int8' stays within the bench parity gate on the demo pack."""
+    sigs = _demo_sigs()
+    p_hi = Predictor.from_checkpoint(CKPT, engine="xla")
+    p_q = Predictor.from_checkpoint(CKPT, precision="int8")
+    assert p_q.engine == "xla"  # int8 forces the XLA engine
+    d = np.abs(p_hi(sigs) - p_q(sigs))
+    assert d.max() < 5e-3, f"int8 parity {d.max():.2e} breaches the 5e-3 gate"
+
+
+def test_int8_predictor_multimodal_gate():
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/multimodal/*.npz")))
+    sigs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+    demos = np.stack([np.load(f, allow_pickle=True)["demo"] for f in files])
+    p_hi = Predictor.from_checkpoint(MM_CKPT, arch="multimodal", engine="xla")
+    p_q = Predictor.from_checkpoint(MM_CKPT, arch="multimodal", precision="int8")
+    d = np.abs(p_hi(sigs, demo=demos) - p_q(sigs, demo=demos))
+    assert d.max() < 5e-3, f"int8 multimodal parity {d.max():.2e}"
+
+
+def test_int8_predictor_af_gate():
+    sigs = _demo_sigs()
+    p_hi = Predictor.from_checkpoint(AF_CKPT, num_labels=1, engine="xla")
+    p_q = Predictor.from_checkpoint(AF_CKPT, num_labels=1, precision="int8")
+    d = np.abs(p_hi(sigs) - p_q(sigs))
+    assert d.max() < 5e-3, f"int8 AF parity {d.max():.2e}"
+
+
+def test_int8_rejects_pallas_engine():
+    with pytest.raises(ValueError, match="int8"):
+        Predictor.from_checkpoint(CKPT, precision="int8", engine="pallas")
+
+
+def test_int8_layers_override():
+    """Quantizing extra layers still runs and stays in a sane range."""
+    sigs = _demo_sigs()[:2]
+    p_hi = Predictor.from_checkpoint(CKPT, engine="xla")
+    p_q = Predictor.from_checkpoint(CKPT, precision="int8", int8_layers=(2, 3))
+    d = np.abs(p_hi(sigs) - p_q(sigs))
+    assert d.max() < 2e-2
+
+
+def test_int8_custom_calib_signals():
+    """User-supplied calibration signals are honored (both layouts)."""
+    sigs = _demo_sigs()
+    p_a = Predictor.from_checkpoint(CKPT, precision="int8", calib_signals=sigs)
+    p_b = Predictor.from_checkpoint(
+        CKPT, precision="int8", calib_signals=sigs.transpose(0, 2, 1)
+    )
+    np.testing.assert_allclose(p_a(sigs), p_b(sigs), atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_int8_data_parallel_matches_single_device():
+    sigs = _demo_sigs()
+    p_q = Predictor.from_checkpoint(CKPT, precision="int8")
+    dp = Predictor.from_checkpoint(
+        CKPT, precision="int8", data_parallel=True, chunk_size=8
+    )
+    np.testing.assert_allclose(dp(sigs), p_q(sigs), atol=1e-5)
+
+
+def test_default_int8_layers_is_deep_only():
+    # guards the measured mixed-precision decision (see ops/quant.py doc)
+    assert DEFAULT_INT8_LAYERS == (3,)
