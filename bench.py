@@ -290,8 +290,9 @@ def bench_inference(full=False):
     return best, results
 
 
-def bench_multimodal(batch_size=8192, iters=10):
-    """Multimodal (FiLM) model throughput, bf16 activations."""
+def bench_multimodal(batch_size=8192, iters=10, precision="default"):
+    """Multimodal (FiLM) model throughput: bf16 activations, or the PTQ
+    int8 backbone (precision='int8', ops/quant.py) on top of them."""
     import jax
     import jax.numpy as jnp
 
@@ -304,12 +305,29 @@ def bench_multimodal(batch_size=8192, iters=10):
     if not os.path.exists(ckpt):
         return None
     variables, _ = load_npz(ckpt)
-    model = ECGMultimodal(feat_dim=256, num_labels=5, precision=None, dtype=jnp.bfloat16)
 
-    def forward(variables, x, d):
-        h = zscore_per_lead_batch(x.astype(jnp.float32)).astype(jnp.bfloat16)
-        logits = model.apply(variables, h, d, False)
-        return jax.nn.sigmoid(logits.astype(jnp.float32))
+    if precision == "int8":
+        from ptbxl_tpu.ops.quant import (
+            make_quantized_forward,
+            quantize_model,
+            split_meta,
+        )
+
+        q = quantize_model(variables, arch="multimodal")
+        arrs, n_blocks, layers = split_meta(q)
+        qf = make_quantized_forward(n_blocks, layers, arch="multimodal")
+
+        def forward(variables, x, d):
+            return qf(arrs, x, d)
+
+    else:
+        model = ECGMultimodal(feat_dim=256, num_labels=5, precision=None,
+                              dtype=jnp.bfloat16)
+
+        def forward(variables, x, d):
+            h = zscore_per_lead_batch(x.astype(jnp.float32)).astype(jnp.bfloat16)
+            logits = model.apply(variables, h, d, False)
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     # parity gate vs the f32 multimodal path on the bundled multimodal demos
     here = os.path.dirname(os.path.abspath(__file__))
@@ -326,8 +344,8 @@ def bench_multimodal(batch_size=8192, iters=10):
             pr = np.asarray(jax.nn.sigmoid(model_f32.apply(variables, h, dd, False)))
             worst = max(worst, float(np.abs(p - pr).max()))
         if worst > 5e-3:
-            print(f"# multimodal bf16 parity FAIL ({worst:.2e}) — number withheld",
-                  file=sys.stderr)
+            print(f"# multimodal {precision} parity FAIL ({worst:.2e}) — "
+                  "number withheld", file=sys.stderr)
             return None
 
     x = jax.block_until_ready(jax.jit(lambda: jax.random.normal(
@@ -635,6 +653,10 @@ def main():
         mm = bench_multimodal()
         if mm is not None:
             print(f"# multimodal (FiLM) inference bf16_act bs=8192: {mm:.1f} rec/s",
+                  file=sys.stderr)
+        mm8 = bench_multimodal(precision="int8")
+        if mm8 is not None:
+            print(f"# multimodal (FiLM) inference int8 bs=8192: {mm8:.1f} rec/s",
                   file=sys.stderr)
         print(f"# train step (bs=256, f32 parity): {bench_train_step(256):.1f} rec/s",
               file=sys.stderr)

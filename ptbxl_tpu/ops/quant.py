@@ -52,22 +52,35 @@ def folded_layer_inputs(folded: Dict[str, Any], x: jnp.ndarray) -> list:
 
     ``x`` must already be z-scored if the serving path normalizes.
     Returns ``taps`` with ``taps[i]`` = input to conv ``i``.
+
+    Jitted as ONE function: running this eagerly compiles each
+    'highest'-precision conv as its own op — ~16 min cold on the TPU
+    backend vs seconds for the single fused compile.
     """
-    taps = [x]
-    h = x.astype(jnp.float32)
-    for i in range(folded["n_blocks"]):
-        w = jnp.asarray(folded[f"w{i}"], jnp.float32)
-        b = jnp.asarray(folded[f"b{i}"], jnp.float32)
-        y = jax.lax.conv_general_dilated(
-            h, w, window_strides=(1,), padding=[(7, 7)],
-            dimension_numbers=("NHC", "HIO", "NHC"), precision="highest",
-        )
-        h = jnp.maximum(y + b[None, None, :], 0.0)
-        h = jax.lax.reduce_window(
-            h, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID"
-        )
+    n_blocks = folded["n_blocks"]
+    wb = {k: v for k, v in folded.items()
+          if k[0] in "wb" and k[1:].isdigit()}
+
+    @jax.jit
+    def run(wb, x):
+        taps = []
+        h = x.astype(jnp.float32)
+        for i in range(n_blocks):
+            taps.append(h)
+            w = jnp.asarray(wb[f"w{i}"], jnp.float32)
+            b = jnp.asarray(wb[f"b{i}"], jnp.float32)
+            y = jax.lax.conv_general_dilated(
+                h, w, window_strides=(1,), padding=[(7, 7)],
+                dimension_numbers=("NHC", "HIO", "NHC"), precision="highest",
+            )
+            h = jnp.maximum(y + b[None, None, :], 0.0)
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID"
+            )
         taps.append(h)
-    return taps
+        return tuple(taps)
+
+    return list(run(wb, x))
 
 
 def calibrate_act_scales(

@@ -45,6 +45,31 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
     from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
     from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
 
+    if precision == "int8":
+        # PTQ path (ops/quant.py): deep conv int8, BN folded, calibrated on
+        # the bundled demo pack at export time; int8 weights and scales are
+        # baked into the StableHLO module like any other constant.
+        from ptbxl_tpu.ops.quant import (
+            make_quantized_forward,
+            quantize_model,
+            split_meta,
+        )
+
+        q = quantize_model(variables, arch=arch, normalize=normalize)
+        arrs, n_blocks, layers = split_meta(q)
+        qf = make_quantized_forward(n_blocks, layers, arch=arch, normalize=normalize)
+        if arch == "multimodal":
+
+            def forward(x, d):
+                return qf(arrs, x, d)
+
+        else:
+
+            def forward(x):
+                return qf(arrs, x)
+
+        return forward
+
     model_precision = None if precision == "default" else precision
     model_dtype = jnp.bfloat16 if precision == "default" else jnp.float32
     if arch == "multimodal":
@@ -133,7 +158,7 @@ def export_serving_artifact(
     n_samples: int = 5000,
     n_leads: int = 12,
     normalize: bool = True,
-    precision: str = "highest",  # 'highest' (f32 parity) | 'default' (bf16)
+    precision: str = "highest",  # 'highest' (f32) | 'default' (bf16) | 'int8' (PTQ)
     platforms: Sequence[str] = ("cpu", "tpu"),
     with_cam: bool = False,
     engine: str = "xla",  # 'xla' | 'pallas' (fused single-kernel, tpu-only)
@@ -168,6 +193,12 @@ def export_serving_artifact(
 
     variables, classes = load_checkpoint(ckpt_path, arch=arch)
     disabled_checks = []
+    if precision == "int8" and (with_cam or engine == "pallas"):
+        raise ValueError(
+            "precision='int8' supports only the plain XLA probs forward "
+            "(CAM needs the differentiable model; Mosaic does not engage "
+            "int8 MXU modes — docs/ARCHITECTURE.md)"
+        )
     if engine == "pallas":
         if with_cam:
             raise ValueError("engine='pallas' does not support with_cam")
@@ -414,7 +445,8 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
     pe.add_argument("--arch", default="ecgcnn", choices=["ecgcnn", "multimodal"])
     pe.add_argument("--num_labels", type=int, default=5)
     pe.add_argument("--engine", default="xla", choices=["xla", "pallas"])
-    pe.add_argument("--precision", default="highest", choices=["highest", "default"])
+    pe.add_argument("--precision", default="highest",
+                    choices=["highest", "default", "int8"])
     pe.add_argument("--batch_size", type=int, default=None)
     pe.add_argument("--with_cam", action="store_true")
     pe.add_argument("--data_parallel", action="store_true")
@@ -437,7 +469,10 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
         print(f"[SAVE] serving artifact: {out}")
     else:
         meta, _ = _read_artifact(args.artifact, meta_only=True)
-        print(json.dumps(meta, indent=2))
+        try:
+            print(json.dumps(meta, indent=2))
+        except BrokenPipeError:  # e.g. piped into `head`
+            os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
     return 0
 
 

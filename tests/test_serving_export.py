@@ -206,3 +206,30 @@ def test_fixed_batch_with_cam_and_empty_input(tmp_path):
     fixed_plain = str(tmp_path / "plainfixed.stablehlo")
     export_serving_artifact(BASELINE_CKPT, fixed_plain, platforms=("cpu",), batch_size=4)
     assert ServingModel(fixed_plain)(empty).shape == (0, 5)
+
+
+def test_int8_artifact_roundtrip(tmp_path):
+    """PTQ int8 artifact matches the int8 Predictor exactly and stays
+    within the 5e-3 gate of the f32 parity path."""
+    path = str(tmp_path / "ecg_baseline_int8.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, path, platforms=("cpu",),
+                            precision="int8")
+    model = ServingModel(path)
+    assert model.meta["precision"] == "int8"
+
+    ecg, _ = _demo_batch("single")
+    got = model(ecg)
+    ref_q = Predictor.from_checkpoint(BASELINE_CKPT, precision="int8")(ecg)
+    np.testing.assert_allclose(got, ref_q, atol=2e-6)
+
+    ref_f32 = Predictor.from_checkpoint(BASELINE_CKPT, engine="xla")(ecg)
+    assert np.abs(got - ref_f32).max() < 5e-3
+
+
+def test_int8_artifact_rejects_cam_and_pallas(tmp_path):
+    with pytest.raises(ValueError, match="int8"):
+        export_serving_artifact(BASELINE_CKPT, str(tmp_path / "x"),
+                                precision="int8", with_cam=True)
+    with pytest.raises(ValueError, match="int8"):
+        export_serving_artifact(BASELINE_CKPT, str(tmp_path / "x"),
+                                precision="int8", engine="pallas")
