@@ -233,3 +233,22 @@ def test_int8_artifact_rejects_cam_and_pallas(tmp_path):
     with pytest.raises(ValueError, match="int8"):
         export_serving_artifact(BASELINE_CKPT, str(tmp_path / "x"),
                                 precision="int8", engine="pallas")
+
+
+def test_data_parallel_int8_artifact(tmp_path):
+    """Pod serving: GSPMD batch sharding + PTQ int8 in one artifact."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    path = str(tmp_path / "dp_int8.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, path, data_parallel=True,
+                            batch_size=8, precision="int8")
+    model = ServingModel(path)
+    assert model.meta["precision"] == "int8"
+    assert model.meta["n_devices"] == len(jax.devices())
+
+    ecg, _ = _demo_batch("single")
+    got = model(ecg)
+    ref_q = Predictor.from_checkpoint(BASELINE_CKPT, precision="int8")(ecg)
+    np.testing.assert_allclose(got, ref_q, atol=2e-6)
