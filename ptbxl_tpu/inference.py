@@ -60,6 +60,7 @@ class Predictor:
         precision: str = "highest",  # 'highest' (f32) | 'default' (bf16) | 'int8'
         calib_signals=None,
         int8_layers=None,
+        qparams=None,
     ):
         """``data_parallel=True`` shards each chunk's batch axis across all
         devices of a 1-D mesh (GSPMD inserts the collectives); params are
@@ -75,7 +76,9 @@ class Predictor:
         max demo-pack prob delta ~1.3e-3 with the default ``int8_layers``.
         ``calib_signals`` (raw [N,12,T] or [N,T,12]) override the bundled
         demo-pack calibration set; ``int8_layers`` overrides which conv
-        layers are quantized (default: last only)."""
+        layers are quantized (default: last only).  ``qparams`` (a
+        quantize_model() dict or a save_qparams() .npz path) skips the
+        fold+calibrate step entirely — quantize once offline, load fast."""
         self.variables = variables
         self.classes = classes
         self.chunk_size = chunk_size
@@ -128,16 +131,23 @@ class Predictor:
         if precision == "int8":
             from ptbxl_tpu.ops.quant import (
                 DEFAULT_INT8_LAYERS,
+                load_qparams,
                 make_quantized_forward,
                 quantize_model,
                 split_meta,
             )
 
-            layers = tuple(int8_layers) if int8_layers is not None else DEFAULT_INT8_LAYERS
-            q = quantize_model(
-                variables, arch=arch, calib_signals=calib_signals,
-                int8_layers=layers, normalize=normalize,
-            )
+            if qparams is not None:
+                q = load_qparams(qparams) if isinstance(qparams, str) else qparams
+            else:
+                layers = (
+                    tuple(int8_layers) if int8_layers is not None
+                    else DEFAULT_INT8_LAYERS
+                )
+                q = quantize_model(
+                    variables, arch=arch, calib_signals=calib_signals,
+                    int8_layers=layers, normalize=normalize,
+                )
             arrs, n_blocks, layers = split_meta(q)
             if self._batch_sharding is not None:
                 from ptbxl_tpu.parallel.mesh import replicated_sharding

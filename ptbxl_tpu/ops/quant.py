@@ -259,3 +259,48 @@ def quantize_model(
         xj = zscore_per_lead_batch(xj)
     scales = calibrate_act_scales(folded, xj, int8_layers)
     return quantize_folded(folded, scales, int8_layers)
+
+
+def save_qparams(q: Dict[str, Any], path: str) -> str:
+    """Persist a quantize_model() result to .npz (atomic write).
+
+    Skips the fold+calibrate step at deployment startup (~70 s cold on TPU
+    for the jitted 'highest' calibration forward): quantize once offline,
+    ship the qparams next to the checkpoint.
+    """
+    arrs = {}
+    bf16_keys = []
+    for k, v in q.items():
+        if not hasattr(v, "shape"):
+            continue
+        a = np.asarray(v)
+        if a.dtype == jnp.bfloat16:  # npz degrades bf16 to void; store f32
+            a = a.astype(np.float32)  # exact (bf16 ⊂ f32)
+            bf16_keys.append(k)
+        arrs[k] = a
+    arrs["__n_blocks__"] = np.asarray(q["n_blocks"], np.int64)
+    arrs["__int8_layers__"] = np.asarray(sorted(q["int8_layers"]), np.int64)
+    arrs["__bf16_keys__"] = np.asarray(bf16_keys)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+    import os
+
+    os.replace(tmp, path)
+    return path
+
+
+def load_qparams(path: str) -> Dict[str, Any]:
+    """Load a save_qparams() file back into a quantized-param dict."""
+    z = np.load(path, allow_pickle=False)
+    bf16_keys = {str(k) for k in z["__bf16_keys__"]}
+    q: Dict[str, Any] = {
+        "n_blocks": int(z["__n_blocks__"]),
+        "int8_layers": tuple(int(i) for i in z["__int8_layers__"]),
+    }
+    for k in z.files:
+        if k.startswith("__"):
+            continue
+        arr = z[k]
+        q[k] = jnp.asarray(arr, jnp.bfloat16 if k in bf16_keys else None)
+    return q

@@ -150,3 +150,29 @@ def test_int8_data_parallel_matches_single_device():
 def test_default_int8_layers_is_deep_only():
     # guards the measured mixed-precision decision (see ops/quant.py doc)
     assert DEFAULT_INT8_LAYERS == (3,)
+
+
+def test_qparams_save_load_roundtrip(tmp_path):
+    """Offline quantization: save_qparams -> Predictor(qparams=...) gives
+    bitwise-identical probabilities to the in-process quantized path."""
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.quant import load_qparams, quantize_model, save_qparams
+
+    variables, _ = load_npz(CKPT)
+    q = quantize_model(variables, arch="ecgcnn")
+    path = str(tmp_path / "ecg_baseline_int8.npz")
+    save_qparams(q, path)
+
+    q2 = load_qparams(path)
+    assert q2["n_blocks"] == q["n_blocks"]
+    assert q2["int8_layers"] == q["int8_layers"]
+    for k, v in q.items():
+        if hasattr(v, "shape"):
+            assert q2[k].dtype == v.dtype, k
+            np.testing.assert_array_equal(np.asarray(q2[k]).astype(np.float32),
+                                          np.asarray(v).astype(np.float32))
+
+    sigs = _demo_sigs()
+    p_live = Predictor.from_checkpoint(CKPT, precision="int8")
+    p_disk = Predictor.from_checkpoint(CKPT, precision="int8", qparams=path)
+    np.testing.assert_array_equal(p_live(sigs), p_disk(sigs))
