@@ -235,7 +235,7 @@ def bench_inference(full=False):
             ("xla", "highest", "f32", [512, 2048]),
             ("xla", None, "bf16", [512, 2048, 8192]),
             ("xla", None, "bf16_act", [8192, 16384]),
-            ("xla_int8", None, "int8", [8192, 16384]),
+            ("xla_int8", None, "int8", [8192, 12288, 16384]),
             ("pallas", None, "f32", [512, 2048]),
             ("hybrid", None, "bf16", [8192]),
         ]
@@ -244,7 +244,7 @@ def bench_inference(full=False):
         # table, incl. the documented Pallas/hybrid rows, is under --full)
         configs = [
             ("xla", None, "bf16_act", [16384]),
-            ("xla_int8", None, "int8", [8192, 16384]),
+            ("xla_int8", None, "int8", [8192, 12288]),
         ]
 
     best = None
