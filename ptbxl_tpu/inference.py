@@ -123,7 +123,10 @@ class Predictor:
                     f"chunk_size {chunk_size} not divisible by {n_data} devices"
                 )
             self._batch_sharding = batch_sharding(mesh)
-            self.variables = jax.device_put(self.variables, replicated_sharding(mesh))
+            if precision != "int8":  # int8 replicates its own q-params below
+                self.variables = jax.device_put(
+                    self.variables, replicated_sharding(mesh)
+                )
             if engine != "xla":
                 raise ValueError("data_parallel currently supports engine='xla'")
 
@@ -149,6 +152,14 @@ class Predictor:
                     int8_layers=layers, normalize=normalize,
                 )
             arrs, n_blocks, layers = split_meta(q)
+            head_labels = int(np.asarray(q["head_w"]).shape[1])
+            if head_labels != num_labels:
+                # the quantized forward never touches the flax model, so the
+                # usual ScopeParamShapeError would not fire — check loudly
+                raise ValueError(
+                    f"checkpoint head has {head_labels} labels but "
+                    f"num_labels={num_labels} was requested"
+                )
             if self._batch_sharding is not None:
                 from ptbxl_tpu.parallel.mesh import replicated_sharding
 
@@ -178,7 +189,9 @@ class Predictor:
                 if engine == "pallas":
                     raise
 
-        if arch == "multimodal":
+        if self._quant_forward is not None:
+            self._xla_forward = None  # _forward always takes the quant branch
+        elif arch == "multimodal":
 
             @jax.jit
             def _xla_forward(variables, x, d):
@@ -186,6 +199,7 @@ class Predictor:
                 logits = self.model.apply(variables, h, d, False)
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 
+            self._xla_forward = _xla_forward
         else:
 
             @jax.jit
@@ -194,7 +208,7 @@ class Predictor:
                 logits = self.model.apply(variables, h, False)
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 
-        self._xla_forward = _xla_forward
+            self._xla_forward = _xla_forward
 
     @classmethod
     def from_checkpoint(

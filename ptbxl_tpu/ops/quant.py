@@ -44,8 +44,6 @@ from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
 # Default mixed-precision config: int8 only where it wins (see module doc).
 DEFAULT_INT8_LAYERS: Tuple[int, ...] = (3,)
 
-_MM_DENSE = ("fc1", "fc2", "film", "head")
-
 
 def folded_layer_inputs(folded: Dict[str, Any], x: jnp.ndarray) -> list:
     """f32 inputs of each conv layer of the BN-folded stack (calibration).

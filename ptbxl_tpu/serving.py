@@ -36,7 +36,8 @@ _MAGIC = b"PTBXLSRV1\n"
 
 
 def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
-                   demo_hidden_dim: int, normalize: bool, precision: str):
+                   demo_hidden_dim: int, normalize: bool, precision: str,
+                   int8_layers=None, calib_signals=None, qparams=None):
     """The same forward the Predictor's XLA engine runs, params closed over."""
     import jax
     import jax.numpy as jnp
@@ -47,16 +48,36 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
 
     if precision == "int8":
         # PTQ path (ops/quant.py): deep conv int8, BN folded, calibrated on
-        # the bundled demo pack at export time; int8 weights and scales are
-        # baked into the StableHLO module like any other constant.
+        # the bundled demo pack at export time (or per the overrides); int8
+        # weights and scales are baked into the StableHLO module like any
+        # other constant.
         from ptbxl_tpu.ops.quant import (
+            DEFAULT_INT8_LAYERS,
+            load_qparams,
             make_quantized_forward,
             quantize_model,
             split_meta,
         )
 
-        q = quantize_model(variables, arch=arch, normalize=normalize)
+        if qparams is not None:
+            q = load_qparams(qparams) if isinstance(qparams, str) else qparams
+        else:
+            q = quantize_model(
+                variables, arch=arch, normalize=normalize,
+                calib_signals=calib_signals,
+                int8_layers=(tuple(int8_layers) if int8_layers is not None
+                             else DEFAULT_INT8_LAYERS),
+            )
         arrs, n_blocks, layers = split_meta(q)
+        # the quantized forward is built purely from checkpoint arrays, so
+        # validate the declared head size loudly (the flax paths fail with a
+        # ScopeParamShapeError on the same operator mistake)
+        head_labels = int(np.asarray(q["head_w"]).shape[1])
+        if head_labels != num_labels:
+            raise ValueError(
+                f"checkpoint head has {head_labels} labels but num_labels="
+                f"{num_labels} was requested"
+            )
         qf = make_quantized_forward(n_blocks, layers, arch=arch, normalize=normalize)
         if arch == "multimodal":
 
@@ -164,6 +185,9 @@ def export_serving_artifact(
     engine: str = "xla",  # 'xla' | 'pallas' (fused single-kernel, tpu-only)
     batch_size: Optional[int] = None,
     data_parallel: bool = False,
+    int8_layers: Optional[Sequence[int]] = None,
+    calib_signals=None,
+    qparams=None,
 ) -> str:
     """Export a checkpoint to a self-contained serving artifact.
 
@@ -171,6 +195,12 @@ def export_serving_artifact(
     constants), the class names, and the input contract.  With
     ``with_cam=True`` the module returns ``(probs [B, L], cams [B, L, T])``
     — interpretable serving with every class's Grad-CAM in one call.
+
+    ``precision='int8'`` accepts the same tuning knobs as the Predictor:
+    ``int8_layers`` (which conv layers quantize), ``calib_signals`` (raw
+    [N,12,T]/[N,T,12] calibration set; default bundled demo pack), or
+    ``qparams`` (a quantize_model() dict / save_qparams() path, skipping
+    fold+calibrate entirely).
 
     ``engine='pallas'`` exports the fused single-kernel forward — the
     latency-regime winner (~5x XLA below batch ~512, one launch,
@@ -233,7 +263,8 @@ def export_serving_artifact(
     else:
         forward = _build_forward(
             variables, arch, num_labels, feat_dim, demo_hidden_dim, normalize,
-            precision,
+            precision, int8_layers=int8_layers, calib_signals=calib_signals,
+            qparams=qparams,
         )
 
     n_devices = 1
@@ -450,6 +481,12 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
     pe.add_argument("--batch_size", type=int, default=None)
     pe.add_argument("--with_cam", action="store_true")
     pe.add_argument("--data_parallel", action="store_true")
+    pe.add_argument("--int8_layers", default=None,
+                    help="comma-separated conv layer indices to quantize "
+                         "(precision=int8; default: the measured winner)")
+    pe.add_argument("--qparams", default=None,
+                    help="save_qparams() .npz path — skip fold+calibrate "
+                         "(precision=int8)")
     pe.add_argument("--no_normalize", action="store_true")
     pe.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering platforms")
@@ -465,6 +502,9 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
             platforms=tuple(args.platforms.split(",")), with_cam=args.with_cam,
             engine=args.engine, batch_size=args.batch_size,
             data_parallel=args.data_parallel,
+            int8_layers=(tuple(int(i) for i in args.int8_layers.split(","))
+                         if args.int8_layers else None),
+            qparams=args.qparams,
         )
         print(f"[SAVE] serving artifact: {out}")
     else:

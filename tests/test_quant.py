@@ -176,3 +176,9 @@ def test_qparams_save_load_roundtrip(tmp_path):
     p_live = Predictor.from_checkpoint(CKPT, precision="int8")
     p_disk = Predictor.from_checkpoint(CKPT, precision="int8", qparams=path)
     np.testing.assert_array_equal(p_live(sigs), p_disk(sigs))
+
+
+def test_int8_num_labels_mismatch_raises():
+    """The quantized path never touches flax, so it validates loudly itself."""
+    with pytest.raises(ValueError, match="labels"):
+        Predictor.from_checkpoint(AF_CKPT, precision="int8")  # default 5 != 1

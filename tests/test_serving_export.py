@@ -252,3 +252,27 @@ def test_data_parallel_int8_artifact(tmp_path):
     got = model(ecg)
     ref_q = Predictor.from_checkpoint(BASELINE_CKPT, precision="int8")(ecg)
     np.testing.assert_allclose(got, ref_q, atol=2e-6)
+
+
+def test_int8_export_num_labels_mismatch_raises(tmp_path):
+    af = os.path.join(REPO, "outputs/af_binary/ckpts/af_binary_best.npz")
+    with pytest.raises(ValueError, match="labels"):
+        export_serving_artifact(af, str(tmp_path / "x"), precision="int8")
+
+
+def test_int8_export_with_qparams(tmp_path):
+    """Offline qparams flow into the artifact (skips fold+calibrate)."""
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.quant import quantize_model, save_qparams
+
+    variables, _ = load_npz(BASELINE_CKPT)
+    qp = str(tmp_path / "q.npz")
+    save_qparams(quantize_model(variables, arch="ecgcnn"), qp)
+
+    path = str(tmp_path / "int8_from_qparams.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, path, platforms=("cpu",),
+                            precision="int8", qparams=qp)
+    ecg, _ = _demo_batch("single")
+    got = ServingModel(path)(ecg)
+    ref_q = Predictor.from_checkpoint(BASELINE_CKPT, precision="int8")(ecg)
+    np.testing.assert_allclose(got, ref_q, atol=2e-6)
