@@ -133,7 +133,6 @@ class Predictor:
         self._quant_forward = None
         if precision == "int8":
             from ptbxl_tpu.ops.quant import (
-                DEFAULT_INT8_LAYERS,
                 load_qparams,
                 make_quantized_forward,
                 quantize_model,
@@ -143,13 +142,9 @@ class Predictor:
             if qparams is not None:
                 q = load_qparams(qparams) if isinstance(qparams, str) else qparams
             else:
-                layers = (
-                    tuple(int8_layers) if int8_layers is not None
-                    else DEFAULT_INT8_LAYERS
-                )
                 q = quantize_model(
                     variables, arch=arch, calib_signals=calib_signals,
-                    int8_layers=layers, normalize=normalize,
+                    int8_layers=int8_layers, normalize=normalize,
                 )
             arrs, n_blocks, layers = split_meta(q)
             head_labels = int(np.asarray(q["head_w"]).shape[1])

@@ -5,25 +5,29 @@ emitter engages the int8 MXU modes (~235 TOP/s at the deep-layer geometry vs
 ~151 TF/s bf16 in the same chained harness) even though Mosaic/Pallas does
 not (docs/ARCHITECTURE.md).  Quantization is therefore an *XLA-path* feature.
 
-Design (tools/proto_int8.py sweep, bs 8192-16384):
+Design (tools/proto_int8.py sweep + the v5e layer-set sweep below):
 
-* **Mixed per-layer precision, default int8 on the last conv only.**  Only
-  the MXU-saturated deep layer (128->256, T=625) wins from int8; the early
-  layers are occupancy-bound (Cout < 128 lanes), so their quantize passes
-  cost more HBM traffic than the faster matmul saves.  Measured: L3-only
-  123.5k rec/s vs 99.4k all-bf16 vs 112.2k all-int8 (bs 8192/16384).
+* **Mixed per-layer precision, default int8 on layers (1, 3).**  The
+  MXU-saturated deep layer (128->256, T=625) is the big win; with
+  requantization moved BEFORE the pool (see below) L1 joins it.  L2 is the
+  odd one out — quantizing it is both slower AND the dominant accuracy cost
+  (v5e, bs 12288, pre-pool requant: (1,3) 139.6k rec/s @ 3.2e-3;
+  (3,) 129.2k @ 2.1e-3; (1,2,3) 132.4k but 6.3e-3 — breaches the 5e-3
+  gate; all-bf16 ~100k).
 * **Per-input-channel activation scales folded into the weights.**  The conv
   sum x_q[cin]*sx[cin]*w[k,cin,cout] lets sx fold into w *before* per-output
   -channel weight quantization, so per-channel activation quantization costs
   nothing at runtime.  Absmax calibration (no percentile clipping — the
   spiky tails of z-scored ECG carry signal; clipping was measured worse).
 * BatchNorm is folded into conv weights first (inference running stats).
-* Epilogue (dequant scale + bias + ReLU + maxpool) stays bf16 elementwise;
-  requantization for the next int8 layer fuses into the previous pool.
+* Epilogue (dequant scale + bias + ReLU) stays bf16 elementwise; when the
+  NEXT layer is int8 the requantization runs BEFORE the maxpool (max
+  commutes with the monotone round/clip — byte-identical), so it fuses
+  into the conv epilogue and the pool moves int8, not bf16.
 
-Accuracy (demo-pack oracle vs the f32 parity path): L3-only max|dprob|
-1.3e-3 — the same class as the bf16 headline path (1.4e-3), inside the
-bench.py <=5e-3 gate.  All-int8 degrades to 7.6e-3 and is slower; not used.
+Accuracy (demo-pack oracle vs the f32 parity path): the (1,3) default sits
+at max|dprob| ~3.2e-3, inside the bench.py <=5e-3 gate.  Deeper sets breach
+the gate and are not used.
 
 The reference has no quantization story at all (pure f32 torch inference,
 /root/reference/scripts/06_ecg_baseline_test.py:94-106); this is a
@@ -42,7 +46,16 @@ import jax.numpy as jnp
 from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
 
 # Default mixed-precision config: int8 only where it wins (see module doc).
-DEFAULT_INT8_LAYERS: Tuple[int, ...] = (3,)
+# Per-arch: FiLM conditioning multiplies the backbone features, amplifying
+# quantization error — the multimodal model breaches the 5e-3 gate with L1
+# quantized (1.2e-2) and keeps the deep layer only.
+DEFAULT_INT8_LAYERS: Tuple[int, ...] = (1, 3)  # ecgcnn / AF
+_ARCH_DEFAULT_LAYERS = {"ecgcnn": (1, 3), "multimodal": (3,)}
+
+
+def default_int8_layers(arch: str) -> Tuple[int, ...]:
+    """The measured gate-passing winner for this architecture (v5e)."""
+    return _ARCH_DEFAULT_LAYERS.get(arch, DEFAULT_INT8_LAYERS)
 
 
 def folded_layer_inputs(folded: Dict[str, Any], x: jnp.ndarray) -> list:
@@ -135,14 +148,23 @@ def quantize_folded(
     return q
 
 
+def _quantize_act(a: jnp.ndarray, sx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(a.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+
+
 def _conv_stack(
     q: Dict[str, Any], h: jnp.ndarray, n_blocks: int, int8_layers: Tuple[int, ...]
 ) -> jnp.ndarray:
-    """Mixed int8/bf16 conv stack: h [B, T, 12] z-scored -> [B, T', C_last]."""
+    """Mixed int8/bf16 conv stack: h [B, T, 12] z-scored -> [B, T', C_last].
+
+    When the NEXT layer is int8, requantization happens BEFORE the maxpool
+    (round/clip are monotone, so max commutes — byte-identical results):
+    the requant fuses into the conv epilogue and the pool moves int8, half
+    the HBM traffic of pooling bf16 and requantizing in a separate pass.
+    """
     for i in range(n_blocks):
         if i in int8_layers:
-            xq = jnp.clip(jnp.round(h.astype(jnp.float32) / q[f"sx{i}"]),
-                          -127, 127).astype(jnp.int8)
+            xq = h if h.dtype == jnp.int8 else _quantize_act(h, q[f"sx{i}"])
             y = jax.lax.conv_general_dilated(
                 xq, q[f"w{i}"], window_strides=(1,), padding=[(7, 7)],
                 dimension_numbers=("NHC", "HIO", "NHC"),
@@ -157,10 +179,14 @@ def _conv_stack(
                 preferred_element_type=jnp.float32,
             )
             hs = y.astype(jnp.bfloat16)
-        h = jnp.maximum(hs + q[f"b{i}"].astype(jnp.bfloat16), 0.0)
+        a = jnp.maximum(hs + q[f"b{i}"].astype(jnp.bfloat16), 0.0)
+        if i + 1 in int8_layers:
+            a = _quantize_act(a, q[f"sx{i + 1}"])
         h = jax.lax.reduce_window(
-            h, jnp.asarray(-jnp.inf, h.dtype), jax.lax.max,
-            (1, 2, 1), (1, 2, 1), "VALID",
+            a,
+            jnp.asarray(jnp.iinfo(jnp.int8).min if a.dtype == jnp.int8 else -jnp.inf,
+                        a.dtype),
+            jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID",
         )
     return h
 
@@ -231,16 +257,19 @@ def quantize_model(
     variables: Dict[str, Any],
     arch: str = "ecgcnn",
     calib_signals: Optional[np.ndarray] = None,
-    int8_layers: Sequence[int] = DEFAULT_INT8_LAYERS,
+    int8_layers: Optional[Sequence[int]] = None,
     normalize: bool = True,
 ) -> Dict[str, Any]:
     """One-call PTQ: fold BN, calibrate, quantize. Returns the q-param dict.
 
     ``calib_signals``: raw [N, 12, T] or [N, T, 12] signals; defaults to the
     bundled demo pack.  They are z-scored iff the serving path normalizes.
+    ``int8_layers`` defaults to the per-arch measured winner.
     """
     from ptbxl_tpu.ops.pallas.fused_ecgcnn import fold_bn_into_conv, fold_multimodal
 
+    if int8_layers is None:
+        int8_layers = default_int8_layers(arch)
     fold = fold_multimodal if arch == "multimodal" else fold_bn_into_conv
     folded = fold(variables)
 

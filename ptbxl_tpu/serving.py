@@ -52,7 +52,6 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
         # weights and scales are baked into the StableHLO module like any
         # other constant.
         from ptbxl_tpu.ops.quant import (
-            DEFAULT_INT8_LAYERS,
             load_qparams,
             make_quantized_forward,
             quantize_model,
@@ -64,9 +63,7 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
         else:
             q = quantize_model(
                 variables, arch=arch, normalize=normalize,
-                calib_signals=calib_signals,
-                int8_layers=(tuple(int8_layers) if int8_layers is not None
-                             else DEFAULT_INT8_LAYERS),
+                calib_signals=calib_signals, int8_layers=int8_layers,
             )
         arrs, n_blocks, layers = split_meta(q)
         # the quantized forward is built purely from checkpoint arrays, so
