@@ -293,6 +293,23 @@ _DECODERS = {
     311: _decode_fmt311,
 }
 
+# Minimum on-disk bytes for `t` samples (spec sizes; matches the encoders).
+# Validated before decoding: the packed decoders pad the FINAL partial group
+# for odd counts, which must not silently accept arbitrarily truncated files
+# (wfdb-python errors there, and so do we).
+_MIN_BYTES = {
+    8: lambda t: t,
+    16: lambda t: 2 * t,
+    24: lambda t: 3 * t,
+    32: lambda t: 4 * t,
+    61: lambda t: 2 * t,
+    80: lambda t: t,
+    160: lambda t: 2 * t,
+    212: lambda t: (3 * t + 1) // 2,
+    310: lambda t: ((t + 2) // 3) * 4,
+    311: lambda t: ((t + 2) // 3) * 4,
+}
+
 
 def _reconstruct_fmt8(diff_frames: np.ndarray, group: List[SignalSpec]) -> np.ndarray:
     """Rebuild amplitudes from fmt-8 first differences for one signal group.
@@ -357,7 +374,14 @@ def read_adc(record_path: str, header: Optional[WFDBHeader] = None) -> Tuple[np.
             raw = f.read()
 
         frame_len = sum(s.samps_per_frame for s in group)
-        flat = _DECODERS[fmt](raw, n_frames * frame_len)
+        total = n_frames * frame_len
+        need = _MIN_BYTES[fmt](total)
+        if len(raw) < need:
+            raise ValueError(
+                f"truncated WFDB signal file {dat_path}: {len(raw)} bytes, "
+                f"format {fmt} needs >= {need} for {total} samples"
+            )
+        flat = _DECODERS[fmt](raw, total)
         frames = flat.reshape(n_frames, frame_len)
         if fmt == 8:
             frames = _reconstruct_fmt8(frames, group)
