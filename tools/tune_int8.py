@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Re-tune the PTQ int8 layer set for the current backend.
+
+The default `int8_layers` in ops/quant.py is a *measured* property of one
+backend (v5e + this toolchain).  After a hardware or compiler change, run
+this to re-derive the gate-passing winner:
+
+    python tools/tune_int8.py                       # baseline ckpt, defaults
+    python tools/tune_int8.py --arch multimodal --ckpt outputs/.../best.npz
+    python tools/tune_int8.py --batch 8192 --sets "3|1,3|2,3|1,2,3"
+
+Prints one row per (layer set, batch): throughput via the dispatch-amortized
+bench harness and worst demo-pack prob delta vs the f32 parity path; the
+winner is the fastest row within the 5e-3 gate.
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_sets(spec):
+    out = []
+    for part in spec.split("|"):
+        part = part.strip()
+        out.append(tuple(int(i) for i in part.split(",")) if part else ())
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    ap.add_argument("--arch", default="ecgcnn", choices=["ecgcnn", "multimodal"])
+    ap.add_argument("--batch", type=int, nargs="*", default=[12288])
+    ap.add_argument("--sets", default="3|1,3|2,3|1,2,3|0,1,3|0,1,2,3")
+    ap.add_argument("--gate", type=float, default=5e-3)
+    args = ap.parse_args()
+
+    import bench
+
+    bench._enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.inference import Predictor
+    from ptbxl_tpu.models.params_io import load_checkpoint
+    from ptbxl_tpu.ops.quant import make_quantized_forward, quantize_model, split_meta
+
+    variables, _ = load_checkpoint(args.ckpt, arch=args.arch)
+
+    kind = "multimodal" if args.arch == "multimodal" else "single"
+    files = sorted(glob.glob(f"data/demo/{kind}/*.npz"))
+    ecgs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+    demo = (
+        np.stack([np.load(f, allow_pickle=True)["demo"] for f in files])
+        if args.arch == "multimodal" else None
+    )
+    ref_p = Predictor(variables, arch=args.arch, engine="xla", precision="highest",
+                      num_labels=5)
+    ref = ref_p(ecgs, demo=demo) if demo is not None else ref_p(ecgs)
+
+    best = None
+    for layers in parse_sets(args.sets):
+        q = quantize_model(variables, arch=args.arch, int8_layers=layers)
+        arrs, nb, ls = split_meta(q)
+        fwd = make_quantized_forward(nb, ls, arch=args.arch)
+
+        xj = jnp.asarray(ecgs.transpose(0, 2, 1))
+        if args.arch == "multimodal":
+            probs = np.asarray(jax.jit(fwd)(arrs, xj, jnp.asarray(demo)))
+        else:
+            probs = np.asarray(jax.jit(fwd)(arrs, xj))
+        err = float(np.abs(probs - ref).max())
+        gate_ok = err <= args.gate
+
+        for bs in args.batch:
+            xb = jax.block_until_ready(jax.jit(
+                lambda b=bs: jax.random.normal(jax.random.PRNGKey(0),
+                                               (b, 5000, 12), jnp.bfloat16))())
+            if args.arch == "multimodal":
+                db = jax.block_until_ready(jax.jit(
+                    lambda b=bs: jax.random.uniform(jax.random.PRNGKey(1), (b, 5)))())
+                rps = bench._throughput(lambda v, x: fwd(arrs, x, db), None, xb)
+            else:
+                rps = bench._throughput(lambda v, x: fwd(arrs, x), None, xb)
+            del xb
+            mark = "ok " if gate_ok else "FAIL"
+            print(f"layers={str(layers):12s} bs={bs:6d}  {rps:10,.0f} rec/s  "
+                  f"parity={err:.2e} [{mark}]", flush=True)
+            if gate_ok and (best is None or rps > best[0]):
+                best = (rps, layers, bs, err)
+
+    if best:
+        rps, layers, bs, err = best
+        print(f"\nwinner: int8_layers={layers} at bs={bs} "
+              f"({rps:,.0f} rec/s, parity {err:.2e})")
+    else:
+        print("\nno configuration passed the gate")
+
+
+if __name__ == "__main__":
+    main()
