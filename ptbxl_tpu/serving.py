@@ -86,6 +86,7 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
             def forward(x):
                 return qf(arrs, x)
 
+        forward.int8_layers = layers
         return forward
 
     model_precision = None if precision == "default" else precision
@@ -311,6 +312,8 @@ def export_serving_artifact(
         "n_leads": n_leads,
         "normalize": normalize,
         "precision": precision,
+        "int8_layers": list(getattr(forward, "int8_layers", ()))
+        if precision == "int8" else None,
         "platforms": list(platforms),
         "with_cam": with_cam,
         "engine": engine,

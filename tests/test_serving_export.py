@@ -276,3 +276,29 @@ def test_int8_export_with_qparams(tmp_path):
     got = ServingModel(path)(ecg)
     ref_q = Predictor.from_checkpoint(BASELINE_CKPT, precision="int8")(ecg)
     np.testing.assert_allclose(got, ref_q, atol=2e-6)
+
+
+def test_artifact_rejects_garbage_and_truncation(tmp_path):
+    """Loading must fail loudly on non-artifacts and truncated artifacts."""
+    bad = tmp_path / "bad.stablehlo"
+    bad.write_bytes(b"not an artifact at all")
+    with pytest.raises(ValueError, match="not a ptbxl_tpu serving artifact"):
+        ServingModel(str(bad))
+
+    good = str(tmp_path / "good.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, good, platforms=("cpu",))
+    blob = open(good, "rb").read()
+    trunc = tmp_path / "trunc.stablehlo"
+    trunc.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises(Exception):  # clean error from deserialize, no crash
+        ServingModel(str(trunc))
+
+
+def test_int8_meta_records_layer_set(tmp_path):
+    from ptbxl_tpu.ops.quant import default_int8_layers
+
+    path = str(tmp_path / "i8.stablehlo")
+    export_serving_artifact(BASELINE_CKPT, path, platforms=("cpu",),
+                            precision="int8")
+    m = ServingModel(path)
+    assert tuple(m.meta["int8_layers"]) == default_int8_layers("ecgcnn")
