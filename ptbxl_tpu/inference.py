@@ -70,13 +70,14 @@ class Predictor:
         (~4.5x the parity path's throughput on v5e; probabilities within
         ~1.5e-3 of f32 — the same configuration bench.py gates at <=5e-3).
 
-        ``precision='int8'`` additionally PTQ-quantizes the MXU-saturated
-        deep conv layer(s) to int8 (BN folded, per-channel scales; see
-        ops/quant.py) — ~1.25x the bf16 path on v5e at large chunk sizes,
-        max demo-pack prob delta ~1.3e-3 with the default ``int8_layers``.
-        ``calib_signals`` (raw [N,12,T] or [N,T,12]) override the bundled
-        demo-pack calibration set; ``int8_layers`` overrides which conv
-        layers are quantized (default: last only).  ``qparams`` (a
+        ``precision='int8'`` additionally PTQ-quantizes conv layers to int8
+        (BN folded, per-channel scales; see ops/quant.py) — ~1.45x the bf16
+        path on v5e at large chunk sizes, max demo-pack prob delta ~3.2e-3
+        with the default layer set.  ``calib_signals`` (raw [N,12,T] or
+        [N,T,12]) override the bundled demo-pack calibration set;
+        ``int8_layers`` overrides which conv layers are quantized (default:
+        the per-arch measured winner — (1,3) for ecgcnn/AF, (3,) for
+        multimodal).  ``qparams`` (a
         quantize_model() dict or a save_qparams() .npz path) skips the
         fold+calibrate step entirely — quantize once offline, load fast."""
         self.variables = variables

@@ -312,7 +312,7 @@ def export_serving_artifact(
         "n_leads": n_leads,
         "normalize": normalize,
         "precision": precision,
-        "int8_layers": list(getattr(forward, "int8_layers", ()))
+        "int8_layers": [int(i) for i in getattr(forward, "int8_layers", ())]
         if precision == "int8" else None,
         "platforms": list(platforms),
         "with_cam": with_cam,

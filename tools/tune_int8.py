@@ -19,9 +19,14 @@ import glob
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
+
+from ptbxl_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()  # honor PTBXL_TPU_PLATFORM like every other CLI
 
 
 def parse_sets(spec):
@@ -34,9 +39,12 @@ def parse_sets(spec):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    ap.add_argument("--ckpt", default=os.path.join(
+        REPO, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz"))
     ap.add_argument("--arch", default="ecgcnn", choices=["ecgcnn", "multimodal"])
-    ap.add_argument("--batch", type=int, nargs="*", default=[12288])
+    ap.add_argument("--num_labels", type=int, default=5,
+                    help="checkpoint head size (1 for the AF model)")
+    ap.add_argument("--batch", type=int, nargs="+", default=[12288])
     ap.add_argument("--sets", default="3|1,3|2,3|1,2,3|0,1,3|0,1,2,3")
     ap.add_argument("--gate", type=float, default=5e-3)
     args = ap.parse_args()
@@ -54,14 +62,14 @@ def main():
     variables, _ = load_checkpoint(args.ckpt, arch=args.arch)
 
     kind = "multimodal" if args.arch == "multimodal" else "single"
-    files = sorted(glob.glob(f"data/demo/{kind}/*.npz"))
+    files = sorted(glob.glob(os.path.join(REPO, "data", "demo", kind, "*.npz")))
     ecgs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
     demo = (
         np.stack([np.load(f, allow_pickle=True)["demo"] for f in files])
         if args.arch == "multimodal" else None
     )
     ref_p = Predictor(variables, arch=args.arch, engine="xla", precision="highest",
-                      num_labels=5)
+                      num_labels=args.num_labels)
     ref = ref_p(ecgs, demo=demo) if demo is not None else ref_p(ecgs)
 
     best = None
