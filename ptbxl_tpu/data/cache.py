@@ -47,9 +47,20 @@ def gather_records(arr: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return np.asarray(arr[idx])
 
 
-def _key(rel_paths: Sequence[str]) -> str:
-    h = hashlib.sha1("\n".join(rel_paths).encode()).hexdigest()[:16]
-    return h
+def _key(base_dir: str, rel_paths: Sequence[str]) -> str:
+    """Cache key over the record list AND each .dat's (size, mtime).
+
+    Content fingerprinting matters: a record replaced in place (same name,
+    fixed bytes) must invalidate the memmap cache, not serve stale samples.
+    """
+    h = hashlib.sha1("\n".join(rel_paths).encode())
+    for p in rel_paths:
+        try:
+            st = os.stat(os.path.join(base_dir, p) + ".dat")
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(b"missing")
+    return h.hexdigest()[:16]
 
 
 class ADCCache:
@@ -66,7 +77,7 @@ class ADCCache:
         self.n_samples = 0
 
     def _paths(self):
-        k = _key(self.rel_paths)
+        k = _key(self.base_dir, self.rel_paths)
         return (
             os.path.join(self.cache_dir, f"adc_{k}.bin"),
             os.path.join(self.cache_dir, f"adc_{k}.meta.npz"),
@@ -106,7 +117,11 @@ class ADCCache:
         native_ok = False
         if all(
             len({s.file_name for s in h.signals}) == 1
-            and all(s.fmt == 16 and s.byte_offset == 0 for s in h.signals)
+            and all(
+                s.fmt == 16 and s.byte_offset == 0
+                and s.samps_per_frame == 1 and s.skew == 0
+                for s in h.signals
+            )
             for h in headers
         ):
             try:
@@ -137,7 +152,18 @@ class ADCCache:
         if not native_ok:
             for i, rel in enumerate(self.rel_paths):
                 adc, _ = read_adc(os.path.join(self.base_dir, rel), headers[i])
-                mm[i] = np.clip(adc.T, -32768, 32767).astype(np.int16)
+                # the cache is an int16 store: refuse records whose ADC values
+                # don't fit (fmt 24/32 wide samples) or that decode to float
+                # frames (samps_per_frame/skew) instead of silently
+                # saturating/garbling them
+                if adc.dtype != np.int32 or adc.min() < -32768 or adc.max() > 32767:
+                    raise ValueError(
+                        f"record {rel} has ADC samples outside int16 (or "
+                        "frame-averaged float frames); the int16 ADC cache "
+                        "cannot store it losslessly — run with "
+                        "use_adc_cache=False for this dataset"
+                    )
+                mm[i] = adc.T.astype(np.int16)
                 if verbose and (i + 1) % 2000 == 0:
                     print(f"[ADCCache] decoded {i + 1}/{n} records")
 

@@ -19,7 +19,7 @@ import json
 import os
 from typing import Dict, Iterable, List
 
-from ptbxl_tpu.io.wfdb_io import read_header
+from ptbxl_tpu.io.wfdb_io import _MIN_BYTES, read_header
 
 CACHE_DIRNAME = ".ptbxl_tpu_cache"
 
@@ -48,12 +48,29 @@ def check_record(base_dir: str, rel_path: str, expected_leads: int = 12) -> bool
         return False
     if header.n_sig != expected_leads or header.n_samples <= 0:
         return False
-    # all signals in one fmt-16-style dat: size must cover n_samples * n_sig
-    bytes_per = {16: 2, 32: 4, 80: 1}.get(header.signals[0].fmt)
-    if bytes_per is not None:
-        need = header.n_samples * header.n_sig * bytes_per
-        if os.path.getsize(rec_path + ".dat") < need:
-            return False
+    # Per .dat group: the file must cover byte_offset + the format's spec
+    # minimum bytes for n_samples frames (counting samps_per_frame) — the
+    # same bound read_adc enforces at decode time.
+    rec_dir = os.path.dirname(rec_path)
+    i = 0
+    while i < header.n_sig:
+        fname = header.signals[i].file_name
+        group = [header.signals[i]]
+        j = i + 1
+        while j < header.n_sig and header.signals[j].file_name == fname:
+            group.append(header.signals[j])
+            j += 1
+        min_fn = _MIN_BYTES.get(group[0].fmt)
+        if min_fn is not None:
+            frame_len = sum(s.samps_per_frame for s in group)
+            need = group[0].byte_offset + min_fn(header.n_samples * frame_len)
+            dat = os.path.join(rec_dir, fname)
+            try:
+                if os.path.getsize(dat) < need:
+                    return False
+            except OSError:
+                return False
+        i = j
     return True
 
 

@@ -155,7 +155,13 @@ class BatchSource:
             idx = order[start : start + bs]
             real = len(idx)
             if real < bs:  # pad to fixed shape
-                idx = np.concatenate([idx, np.repeat(idx[-1:], bs - real)])
+                # pad by WRAPPING the epoch order (distinct records), not by
+                # repeating one row: the mask shields loss/metrics either
+                # way, but train-mode BatchNorm statistics see the pad rows,
+                # and 50 copies of one record skews them far more than a
+                # representative sample does (see docs/PARITY.md)
+                pad = np.resize(order, bs - real) if self.n else np.repeat(idx[-1:], bs - real)
+                idx = np.concatenate([idx, pad])
             batch = {
                 "y": self.ds.y[idx].astype(np.float32),
                 "mask": (np.arange(bs) < real).astype(np.float32),
@@ -210,22 +216,46 @@ def device_prefetch(
         return dev
 
     error = []
+    closed = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator — otherwise the producer blocks forever holding
+        # device-resident batches (leaked HBM for the process lifetime)
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in host_iter:
-                q.put(put(batch))
+                if not _put(put(batch)):
+                    return
         except BaseException as e:  # propagate to the consumer, don't truncate
             error.append(e)
         finally:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if error:
-                raise error[0]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if error:
+                    raise error[0]
+                break
+            yield item
+    finally:
+        # consumer done or abandoned (GeneratorExit/exception): release the
+        # producer and drop any queued device batches
+        closed.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

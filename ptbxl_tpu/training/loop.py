@@ -187,6 +187,11 @@ def eval_one_epoch(
             total += float(losses.mean()) if mask.any() else 0.0
             weight += 1.0
 
+    if not y_list:
+        raise ValueError(
+            "eval split produced no batches (every record dropped?) — "
+            "check the dataset's validity/demographic filters"
+        )
     y_true = np.concatenate(y_list, axis=0)
     y_prob = np.concatenate(probs_list, axis=0)
     metrics = compute_metrics(y_true, y_prob, threshold=threshold)
@@ -217,6 +222,11 @@ def predict_all(
         losses.append(kept)
         if mask.any():
             batch_means.append(float(kept.mean()))
+    if not y_list:
+        raise ValueError(
+            "test split produced no batches (every record dropped?) — "
+            "check the dataset's validity/demographic filters"
+        )
     y_true = np.concatenate(y_list, axis=0)
     y_prob = np.concatenate(probs_list, axis=0)
     if loss_mode == "per_batch":

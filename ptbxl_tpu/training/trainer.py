@@ -81,18 +81,36 @@ class TrainRun:
     eval_desc: str = "Eval"
 
 
-def _export_best(run: TrainRun, state: TrainState):
+def _best_meta_path(ckpt_path: str) -> str:
+    return ckpt_path + ".meta.json"
+
+
+def _export_best(run: TrainRun, state: TrainState, val_auprc: float):
     variables = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
     }
     save_npz(run.ckpt_path, variables, classes=run.classes)
+    # sidecar records the achieved AUPRC so a crash between best-export and
+    # the resume save cannot make a later, worse epoch clobber this ckpt
+    try:
+        import json
+
+        tmp = _best_meta_path(run.ckpt_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"val_auprc": float(val_auprc)}, f)
+        os.replace(tmp, _best_meta_path(run.ckpt_path))
+    except OSError as e:
+        print(f"[WARN] could not write best-ckpt sidecar: {e}")
     if run.pth_export:
         try:
             pth_path = os.path.splitext(run.ckpt_path)[0] + ".pth"
             export_pth(pth_path, variables, arch=run.arch, classes=run.classes)
         except ImportError:
-            pass
+            pass  # torch not installed: .npz is the native format
+        except Exception as e:
+            # convenience export must not kill a training run
+            print(f"[WARN] .pth export failed ({e}); native .npz saved")
 
 
 def _resume_dir(run: TrainRun) -> str:
@@ -159,6 +177,15 @@ def train(run: TrainRun) -> TrainState:
         start_epoch = int(restored["epoch"])
         best_auprc = float(restored["best_auprc"])
         epochs_no_improve = int(restored["epochs_no_improve"])
+        # reconcile with the exported best ckpt's sidecar: a crash between
+        # best-export and the resume save leaves the sidecar ahead
+        try:
+            import json
+
+            with open(_best_meta_path(run.ckpt_path)) as f:
+                best_auprc = max(best_auprc, float(json.load(f)["val_auprc"]))
+        except (OSError, ValueError, KeyError):
+            pass
         print(f"[INFO] Resumed from {latest} at epoch {start_epoch} (best AUPRC {best_auprc:.4f})")
 
     for epoch in range(start_epoch, run.epochs):
@@ -189,18 +216,16 @@ def train(run: TrainRun) -> TrainState:
             tb_writer.flush()
 
         auprc = float(val_metrics.get("auprc_macro", -1))
-        if auprc > best_auprc:
+        improved = auprc > best_auprc
+        if improved:
             best_auprc = auprc
             epochs_no_improve = 0
-            _export_best(run, state)
+            _export_best(run, state, auprc)
             print(run.best_print(best_auprc, run.ckpt_path))
         else:
             epochs_no_improve += 1
-            if run.early_stop_patience is not None and epochs_no_improve >= run.early_stop_patience:
-                print("[INFO] Early stopping.")
-                break
 
-        # crash-safe resume point (every epoch, overwrite)
+        # crash-safe resume point (every epoch, incl. the early-stop epoch)
         payload = {
             "state": jax.device_get(state),
             "epoch": epoch + 1,
@@ -215,5 +240,13 @@ def train(run: TrainRun) -> TrainState:
         if os.path.exists(latest):
             shutil.rmtree(latest)
         os.replace(tmp, latest)
+
+        if (
+            not improved
+            and run.early_stop_patience is not None
+            and epochs_no_improve >= run.early_stop_patience
+        ):
+            print("[INFO] Early stopping.")
+            break
 
     return state
