@@ -124,3 +124,65 @@ def test_zscore_matches_host_math():
     got = np.asarray(jax.jit(zscore_per_lead_batch)(x))
     want = np.stack([zscore_per_lead(s.T).T for s in x])
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_padding_wraps_distinct_records(ptbxl_dir):
+    """Final-batch pads come from the epoch order (distinct records), not 50
+    copies of one row — train-mode BN statistics stay ~unbiased (PARITY.md)."""
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    n = len(ds)
+    bs = n - 3  # one full batch impossible: second batch is 3 real + pads
+    src = BatchSource(ds, batch_size=bs, shuffle=False)
+    last = list(src.epoch(0))[-1]
+    pad_rows = last["ecg"][3:]
+    if pad_rows.shape[0] >= 2:
+        # wrapped pads are record 0, 1, 2, ... — not all identical
+        assert not np.allclose(pad_rows[0], pad_rows[1])
+        np.testing.assert_allclose(pad_rows[0], ds.get_raw(0).T, atol=1e-6)
+
+
+def test_prefetch_abandoned_consumer_releases_producer(ptbxl_dir):
+    """Breaking out of a prefetch loop must not leave the producer thread
+    blocked forever holding device batches (HBM leak)."""
+    import threading
+    import time
+
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    src = BatchSource(ds, batch_size=4, shuffle=False)
+    before = {t.ident for t in threading.enumerate()}
+    gen = device_prefetch(src.epoch(0), depth=1)
+    next(gen)  # start the producer, consume one batch
+    gen.close()  # abandon mid-epoch
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, "prefetch producer thread still alive after close()"
+
+
+def test_adc_cache_invalidated_by_content_change(ptbxl_dir, tmp_path):
+    """Replacing a .dat in place (same name) must rebuild the cache."""
+    import os
+    import shutil
+
+    ds = PTBXLDataset(ptbxl_dir, "train", CLASSES)
+    rels = ds.df["filename_hr"].tolist()[:4]
+    cache_dir = str(tmp_path / "cache")
+    c1 = ADCCache(ptbxl_dir, rels, cache_dir=cache_dir).ensure_built(verbose=False)
+    bin1, _ = c1._paths()
+
+    dat = os.path.join(ptbxl_dir, rels[0]) + ".dat"
+    raw = open(dat, "rb").read()
+    shutil.copy(dat, dat + ".bak")
+    try:
+        with open(dat, "wb") as f:  # flip bytes, same size
+            f.write(bytes(b ^ 0xFF for b in raw))
+        os.utime(dat, ns=(os.stat(dat).st_atime_ns, os.stat(dat).st_mtime_ns + 10**9))
+        c2 = ADCCache(ptbxl_dir, rels, cache_dir=cache_dir).ensure_built(verbose=False)
+        bin2, _ = c2._paths()
+        assert bin1 != bin2, "cache key unchanged after .dat content change"
+    finally:
+        shutil.move(dat + ".bak", dat)
