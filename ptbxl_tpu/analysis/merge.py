@@ -20,4 +20,9 @@ def merge_prediction_frames(
             f"Row count mismatch: baseline={len(df_base)}, multimodal={len(df_mm)}, AF={len(df_af)}"
         )
     mm_no_truth = df_mm[[c for c in df_mm.columns if not c.startswith("y_true_")]]
-    return pd.concat([df_base, mm_no_truth, df_af], axis=1)
+    # concat(axis=1) aligns on index — force positional alignment so a
+    # filtered/shuffled index cannot silently reorder or NaN-pad rows
+    return pd.concat(
+        [df.reset_index(drop=True) for df in (df_base, mm_no_truth, df_af)],
+        axis=1,
+    )

@@ -111,7 +111,17 @@ def decode_batch_fmt16(
     n = len(dat_paths)
     if out is None:
         out = np.zeros((n, n_sig, n_samples), dtype=np.int16)
-    assert out.shape == (n, n_sig, n_samples) and out.dtype == np.int16 and out.flags.c_contiguous
+    # real raise, not assert: this guards a raw C memwrite and must survive
+    # `python -O`
+    if (
+        out.shape != (n, n_sig, n_samples)
+        or out.dtype != np.int16
+        or not out.flags.c_contiguous
+    ):
+        raise ValueError(
+            f"out buffer must be C-contiguous int16 {(n, n_sig, n_samples)}; "
+            f"got {out.dtype} {out.shape}"
+        )
 
     status = np.zeros(n, dtype=np.uint8)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in dat_paths])

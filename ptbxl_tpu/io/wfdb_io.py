@@ -346,6 +346,16 @@ def read_adc(record_path: str, header: Optional[WFDBHeader] = None) -> Tuple[np.
 
     rec_dir = os.path.dirname(record_path)
     n_frames = header.n_samples
+    if n_frames < 0:
+        raise ValueError(f"negative sample count {n_frames} in {record_path}")
+    if n_frames == 0:
+        # WFDB allows 0/absent sample counts ("unspecified length": derive
+        # from the file size).  Returning an empty signal here would silently
+        # drop a valid record's data — fail loudly instead.
+        raise NotImplementedError(
+            f"unspecified-length WFDB record {record_path} (n_samples 0); "
+            "length-from-file-size is not supported"
+        )
     # Signals grouped by .dat file; within a file, frames interleave each
     # signal's samps_per_frame samples in signal order.
     out = np.empty((n_frames, header.n_sig), dtype=dtype)

@@ -60,10 +60,11 @@ class DemoEncoder(nn.Module):
 
     hidden_dim: int = 64
     precision: Optional[str] = PARITY_PRECISION
+    dtype: Optional[jnp.dtype] = jnp.float32
 
     def setup(self):
-        self.fc1 = nn.Dense(64, precision=self.precision)
-        self.fc2 = nn.Dense(self.hidden_dim, precision=self.precision)
+        self.fc1 = nn.Dense(64, precision=self.precision, dtype=self.dtype)
+        self.fc2 = nn.Dense(self.hidden_dim, precision=self.precision, dtype=self.dtype)
 
     def __call__(self, x_demo: jnp.ndarray) -> jnp.ndarray:
         h = nn.relu(self.fc1(x_demo))
@@ -95,9 +96,16 @@ class ECGMultimodal(nn.Module):
             precision=self.precision,
             dtype=self.dtype,
         )
-        self.demo_encoder = DemoEncoder(hidden_dim=self.demo_hidden_dim, precision=self.precision)
-        self.film_gen = nn.Dense(2 * self.feat_dim, precision=self.precision)
-        self.head = nn.Dense(self.num_labels, precision=self.precision)
+        # the fusion tail follows the model dtype like the backbone does —
+        # a bf16-activation config must not silently run a mixed f32 tail
+        self.demo_encoder = DemoEncoder(
+            hidden_dim=self.demo_hidden_dim, precision=self.precision,
+            dtype=self.dtype,
+        )
+        self.film_gen = nn.Dense(2 * self.feat_dim, precision=self.precision,
+                                 dtype=self.dtype)
+        self.head = nn.Dense(self.num_labels, precision=self.precision,
+                             dtype=self.dtype)
 
     def _fuse(self, z_ecg: jnp.ndarray, x_demo: jnp.ndarray) -> jnp.ndarray:
         h_demo = self.demo_encoder(x_demo)

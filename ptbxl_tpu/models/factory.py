@@ -159,5 +159,24 @@ def merge_backbone(variables: Dict, backbone_vars: Dict) -> Dict:
         dst = out[coll]["ecg_backbone"]
         for k, v in backbone_vars[coll].items():
             if k in dst:
+                _check_shapes(dst[k], v, f"{coll}/ecg_backbone/{k}")
                 dst[k] = v
     return out
+
+
+def _check_shapes(dst, src, path: str):
+    """Recursive shape check for a warm-start overlay.
+
+    torch's strict=False load still errors on size mismatches
+    (reference scripts/04:149-156); overlaying a wrong-feat_dim encoder must
+    fail here, not as an opaque shape error inside model.apply."""
+    if isinstance(dst, dict):
+        for k in dst.keys() & src.keys():
+            _check_shapes(dst[k], src[k], f"{path}/{k}")
+        return
+    ds = tuple(getattr(dst, "shape", ()))
+    ss = tuple(getattr(src, "shape", ()))
+    if ds != ss:
+        raise ValueError(
+            f"warm-start shape mismatch at {path}: model {ds} vs checkpoint {ss}"
+        )

@@ -73,9 +73,15 @@ class _TorchUnpickler(pickle.Unpickler):
         if kind != "storage":
             raise pickle.UnpicklingError(f"unsupported persistent id kind: {kind}")
         storage_type, key, _location, _numel = saved_id[1:5]
-        dtype = storage_type if isinstance(storage_type, np.dtype) else np.dtype(np.float32)
+        if not isinstance(storage_type, np.dtype):
+            # unknown storage class (e.g. BFloat16Storage): reinterpreting
+            # its raw bytes as f32 would load garbage weights silently
+            raise pickle.UnpicklingError(
+                f"unsupported torch storage type {storage_type!r}; install "
+                "torch to read this checkpoint"
+            )
         data = self._zf.read(f"{self._prefix}/data/{key}")
-        return _StorageRef(dtype, data)
+        return _StorageRef(storage_type, data)
 
     def find_class(self, module, name):
         if name in _STORAGE_DTYPES:

@@ -319,15 +319,15 @@ def save_qparams(q: Dict[str, Any], path: str) -> str:
 
 def load_qparams(path: str) -> Dict[str, Any]:
     """Load a save_qparams() file back into a quantized-param dict."""
-    z = np.load(path, allow_pickle=False)
-    bf16_keys = {str(k) for k in z["__bf16_keys__"]}
-    q: Dict[str, Any] = {
-        "n_blocks": int(z["__n_blocks__"]),
-        "int8_layers": tuple(int(i) for i in z["__int8_layers__"]),
-    }
-    for k in z.files:
-        if k.startswith("__"):
-            continue
-        arr = z[k]
-        q[k] = jnp.asarray(arr, jnp.bfloat16 if k in bf16_keys else None)
+    with np.load(path, allow_pickle=False) as z:
+        bf16_keys = {str(k) for k in z["__bf16_keys__"]}
+        q: Dict[str, Any] = {
+            "n_blocks": int(z["__n_blocks__"]),
+            "int8_layers": tuple(int(i) for i in z["__int8_layers__"]),
+        }
+        for k in z.files:
+            if k.startswith("__"):
+                continue
+            arr = z[k]
+            q[k] = jnp.asarray(arr, jnp.bfloat16 if k in bf16_keys else None)
     return q

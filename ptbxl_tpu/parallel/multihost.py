@@ -30,8 +30,12 @@ def maybe_initialize_distributed(
     """Initialize jax.distributed when a cluster env is present; else no-op.
 
     Recognizes explicit args, the JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID variables, or a TPU pod environment
-    (where jax.distributed.initialize auto-detects everything).
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID variables, or — with
+    ``PTBXL_TPU_DISTRIBUTED=1`` — a cluster environment where
+    ``jax.distributed.initialize()`` auto-detects everything (TPU pods, GKE).
+    The auto-detect path is opt-in: calling initialize() unconditionally on
+    a plain single host raises/hangs, so absent any of the above this is a
+    no-op and the job stays single-host.
 
     Returns True if distributed mode was initialized.
     """
@@ -48,6 +52,9 @@ def maybe_initialize_distributed(
     )
 
     if coordinator_address is None and num_processes is None:
+        if os.environ.get("PTBXL_TPU_DISTRIBUTED", "") not in ("", "0"):
+            jax.distributed.initialize()  # cluster auto-detection
+            return True
         return False  # single host; nothing to do
 
     jax.distributed.initialize(

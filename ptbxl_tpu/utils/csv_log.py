@@ -35,7 +35,7 @@ def log_epoch_to_csv(
     config_path: str,
 ) -> None:
     """Append one epoch row; create file with header if needed."""
-    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
     file_exists = os.path.exists(csv_path)
 
     with open(csv_path, "a", newline="") as f:

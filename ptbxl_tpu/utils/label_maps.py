@@ -96,7 +96,9 @@ def find_af_codes(scp: pd.DataFrame, keywords: Optional[List[str]] = None) -> Li
         raise KeyError("Column 'description' missing in scp_statements.csv.")
     mask = pd.Series(False, index=scp.index)
     for kw in keywords:
-        mask = mask | desc.str.contains(kw, na=False)
+        # regex=False: keywords are literal substrings (metacharacters in
+        # a keyword must not be interpreted)
+        mask = mask | desc.str.contains(kw, na=False, regex=False)
     return scp.loc[mask, "scp_code"].tolist()
 
 
