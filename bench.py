@@ -373,9 +373,10 @@ def bench_multimodal(batch_size=8192, iters=10, precision="default"):
 def bench_demo_latency(n=20):
     """Demo-path latency (forward + Grad-CAM, one record).
 
-    Returns (p50_dispatch_ms, onchip_ms): the former includes the dev
-    tunnel's RPC round-trip; the latter amortizes it inside one jit (the
-    number a production host would see per request, pipeline-depth 1).
+    Returns (p50_dispatch_ms, onchip_ms, onchip_ms_all_classes): the first
+    includes the dev tunnel's RPC round-trip; the on-chip numbers amortize
+    it inside one jit (what a production host would see per request,
+    pipeline-depth 1), single-class and all-5-classes (one-pass vjp).
     """
     import jax
     import jax.numpy as jnp
@@ -635,6 +636,10 @@ def bench_pipeline_stages(n_records=2048, batch_size=256):
 
 
 def main():
+    from ptbxl_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor PTBXL_TPU_PLATFORM like every other CLI
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--full", action="store_true", help="detailed report")
     args = parser.parse_args()

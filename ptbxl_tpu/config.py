@@ -39,7 +39,7 @@ def get_seed(cfg: Dict[str, Any]) -> int:
 
 def get_classes(cfg: Dict[str, Any]) -> List[str]:
     """Class list with the reference default (reference: scripts/03:76)."""
-    return list(cfg.get("data", {}).get("labels", DEFAULT_CLASSES))
+    return list((cfg.get("data") or {}).get("labels", DEFAULT_CLASSES))
 
 
 def get_base_dir(cfg: Dict[str, Any]) -> str:
@@ -51,12 +51,12 @@ def get_base_dir(cfg: Dict[str, Any]) -> str:
 
 
 def get_normalize(cfg: Dict[str, Any]) -> str:
-    return cfg.get("data", {}).get("normalize", "per_lead")
+    return (cfg.get("data") or {}).get("normalize", "per_lead")
 
 
 def model_cfg_ecg(cfg: Dict[str, Any]) -> Dict[str, Any]:
     """model.ecg section (reference: scripts/03:71)."""
-    return cfg.get("model", {}).get("ecg", {}) or {}
+    return ((cfg.get("model") or {}).get("ecg") or {})
 
 
 def model_cfg_multimodal(cfg: Dict[str, Any]) -> Dict[str, Any]:

@@ -84,8 +84,13 @@ class Predictor:
         self.classes = classes
         self.chunk_size = chunk_size
         self.normalize = normalize
-        self.engine = engine
         self.arch = arch
+        self._num_labels = num_labels
+        if data_parallel and engine == "auto":
+            # GSPMD batch sharding is an XLA-path feature; 'auto' resolves to
+            # the only engine it supports instead of erroring on the default
+            engine = "xla"
+        self.engine = engine
         import jax.numpy as _jnp
 
         if precision == "int8":
@@ -258,6 +263,13 @@ class Predictor:
             demo = np.asarray(demo, dtype=np.float32)
             if demo.ndim == 1:
                 demo = demo[None]
+            if demo.shape != (n, 5):
+                raise ValueError(
+                    f"demo must be [N, 5] matching signals N={n}; got {demo.shape}"
+                )
+
+        if n == 0:
+            return np.empty((0, self._num_labels), np.float32)
 
         n_dev = 1
         if self._batch_sharding is not None:
@@ -269,7 +281,15 @@ class Predictor:
             chunk = x[i0 : i0 + cs]
             d_chunk = demo[i0 : i0 + cs] if demo is not None else None
             real = chunk.shape[0]
-            target = cs if (real < cs and n > cs) else real
+            if real < cs and n > cs:
+                target = cs
+            elif real < cs:
+                # bucket small one-shot batches to the next power of two so a
+                # serving host with varying small N compiles O(log cs) shapes,
+                # not one per distinct N (pad rows are masked out below)
+                target = 1 << (real - 1).bit_length() if real > 1 else 1
+            else:
+                target = real
             if target % n_dev:  # sharded batch axis must divide evenly
                 target += n_dev - target % n_dev
             if real < target:

@@ -499,7 +499,7 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
         out = export_serving_artifact(
             args.ckpt, args.out, arch=args.arch, num_labels=args.num_labels,
             normalize=not args.no_normalize, precision=args.precision,
-            platforms=tuple(args.platforms.split(",")), with_cam=args.with_cam,
+            platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()), with_cam=args.with_cam,
             engine=args.engine, batch_size=args.batch_size,
             data_parallel=args.data_parallel,
             int8_layers=(tuple(int(i) for i in args.int8_layers.split(","))

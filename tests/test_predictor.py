@@ -136,3 +136,38 @@ def test_predictor_default_precision_multimodal_and_af():
         z = np.load(sorted(glob.glob(os.path.join(here, "data/demo/single/*.npz")))[0],
                     allow_pickle=True)
         assert np.abs(a_hi(z["ecg"][None]) - a_lo(z["ecg"][None])).max() < 5e-3
+
+
+def test_empty_input_returns_empty(predictor):
+    out = predictor(np.zeros((0, 12, 5000), np.float32))
+    assert out.shape == (0, 5) and out.dtype == np.float32
+
+
+def test_demo_count_mismatch_raises():
+    mm = Predictor.from_checkpoint(
+        os.path.join(HERE, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz"),
+        arch="multimodal", engine="xla",
+    )
+    sigs = np.zeros((3, 12, 5000), np.float32)
+    with pytest.raises(ValueError, match="demo must be"):
+        mm(sigs, demo=np.zeros((2, 5), np.float32))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_default_engine_resolves(predictor):
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/single/*.npz")))
+    sigs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+    dp = Predictor.from_checkpoint(CKPT, data_parallel=True, chunk_size=8)
+    assert dp.engine == "xla"  # 'auto' resolves instead of raising
+    np.testing.assert_allclose(dp(sigs), predictor(sigs), atol=1e-5)
+
+
+def test_small_batches_bucket_to_pow2(predictor):
+    """Distinct small N reuse O(log chunk_size) compiled shapes (pads are
+    masked); results must equal per-sample inference."""
+    files = sorted(glob.glob(os.path.join(HERE, "data/demo/single/*.npz")))
+    sigs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+    for n in (1, 2, 3, 5, 7):
+        np.testing.assert_allclose(
+            predictor(sigs[:n]), predictor(sigs)[:n], atol=1e-6
+        )

@@ -63,9 +63,10 @@ def main():
 
     kind = "multimodal" if args.arch == "multimodal" else "single"
     files = sorted(glob.glob(os.path.join(REPO, "data", "demo", kind, "*.npz")))
-    ecgs = np.stack([np.load(f, allow_pickle=True)["ecg"] for f in files])
+    packs = [dict(np.load(f, allow_pickle=True)) for f in files]
+    ecgs = np.stack([p["ecg"] for p in packs])
     demo = (
-        np.stack([np.load(f, allow_pickle=True)["demo"] for f in files])
+        np.stack([p["demo"] for p in packs])
         if args.arch == "multimodal" else None
     )
     ref_p = Predictor(variables, arch=args.arch, engine="xla", precision="highest",
