@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ptbxl_tpu.ops.pallas.zscore import zscore_tile
+
 BN_EPS = 1e-5
 ZS_EPS = 1e-6
 K = 15
@@ -91,11 +93,7 @@ def _make_kernel(n_blocks: int, compute_dtype, normalize: bool):
 
         x = x_ref[0]  # [T, 12] f32
         if normalize:
-            t = x.shape[0]
-            mean = jnp.sum(x, axis=0, keepdims=True) / t
-            centered = x - mean
-            var = jnp.sum(centered * centered, axis=0, keepdims=True) / t
-            x = centered / (jnp.sqrt(var) + ZS_EPS)
+            x = zscore_tile(x)
 
         h = x
         for i in range(n_blocks):
@@ -130,6 +128,8 @@ def _make_kernel(n_blocks: int, compute_dtype, normalize: bool):
             + head_b_ref[...][None, :]
         )
         # output tile padded to (8, 128) to satisfy TPU tiling; row 0 holds logits
+        if logits.shape[1] > 128:
+            raise ValueError("fused kernels support num_labels <= 128")
         o_ref[0] = jnp.pad(logits, ((0, 7), (0, 128 - logits.shape[1])))
 
     return kernel
@@ -267,11 +267,7 @@ def _make_mm_kernel(n_blocks: int, compute_dtype, normalize: bool):
 
         x = x_ref[0]
         if normalize:
-            t = x.shape[0]
-            mean = jnp.sum(x, axis=0, keepdims=True) / t
-            centered = x - mean
-            var = jnp.sum(centered * centered, axis=0, keepdims=True) / t
-            x = centered / (jnp.sqrt(var) + ZS_EPS)
+            x = zscore_tile(x)
 
         h = x
         for i in range(n_blocks):
@@ -299,6 +295,8 @@ def _make_mm_kernel(n_blocks: int, compute_dtype, normalize: bool):
         z_cond = gamma * z_ecg + beta
 
         logits = _dot1(z_cond, head_w, compute_dtype) + head_b[None, :]
+        if logits.shape[1] > 128:
+            raise ValueError("fused kernels support num_labels <= 128")
         o_ref[0] = jnp.pad(logits, ((0, 7), (0, 128 - logits.shape[1])))
 
     return kernel

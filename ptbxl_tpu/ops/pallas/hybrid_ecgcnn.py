@@ -127,6 +127,8 @@ def _make_tail_kernel(n_deep: int, dims, compute_dtype):
                 )
                 + head_b_ref[...][None, :]
             )
+            if logits.shape[1] > 128:
+                raise ValueError("fused kernels support num_labels <= 128")
             o_ref[b, :] = jnp.pad(logits, ((0, 0), (0, 128 - logits.shape[1])))[0]
 
     return kernel
@@ -149,6 +151,11 @@ def hybrid_ecgcnn_logits(
     block_b: int = 8,
 ) -> jnp.ndarray:
     """x [B, T, 12] raw -> logits [B, num_labels] (B padded internally)."""
+    if not 0 < split < n_blocks:
+        raise ValueError(
+            f"split must leave at least one XLA front block and one Pallas "
+            f"deep block: 0 < split ({split}) < n_blocks ({n_blocks})"
+        )
     if normalize:
         x = zscore_per_lead_batch(x)
     h = _xla_front(x, folded, split, compute_dtype)  # [B, t3, C]

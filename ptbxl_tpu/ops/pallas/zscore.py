@@ -19,14 +19,23 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-6
 
 
-def _zscore_kernel(x_ref, o_ref):
-    x = x_ref[0]  # [T, C]
+def zscore_tile(x):
+    """Per-lead z-score of one [T, C] tile — the in-kernel building block.
+
+    Single source of truth for the '(x - mean)/(std + 1e-6)' semantics that
+    must stay in lockstep with ops/preprocess.zscore_per_lead_batch (the
+    demo-pack parity gates pin it); used by every Pallas kernel that fuses
+    normalization.
+    """
     t = x.shape[0]
     mean = jnp.sum(x, axis=0, keepdims=True) / t
     centered = x - mean
     var = jnp.sum(centered * centered, axis=0, keepdims=True) / t
-    std = jnp.sqrt(var)
-    o_ref[0] = centered / (std + EPS)
+    return centered / (jnp.sqrt(var) + EPS)
+
+
+def _zscore_kernel(x_ref, o_ref):
+    o_ref[0] = zscore_tile(x_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -140,7 +140,10 @@ def phase_packed_front(x: jnp.ndarray, folded: Dict[str, jnp.ndarray],
     # ---- conv2: stride-1 over t2, 2 phases in and out ----
     w9, b9 = packed["pp_w9"], packed["pp_b9"]
     taps2 = w9.shape[0]
-    pad_left = taps2 // 2  # symmetric tap window around t2
+    # conv2's pad offset must mirror the packer's -d_lo = ceil(PAD/P) with
+    # P=2 phases (NOT taps2 // 2, which only coincides for the symmetric
+    # K=15/PAD=7 window); static so it stays a concrete pad width under jit
+    pad_left = (PAD + 2 - 1) // 2
     hp = jnp.pad(h, ((0, 0), (pad_left, taps2 - 1 - pad_left), (0, 0)))
     h = jax.lax.conv_general_dilated(
         hp.astype(compute_dtype), w9.astype(compute_dtype),

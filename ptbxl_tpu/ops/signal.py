@@ -25,6 +25,11 @@ def _sinc_kernel(lo_hz: float, hi_hz: float, fs: float, num_taps: int) -> np.nda
         num_taps += 1
     t = np.arange(num_taps) - (num_taps - 1) / 2
     nyq = fs / 2.0
+    if not 0 <= lo_hz < hi_hz <= nyq:
+        raise ValueError(
+            f"band edges must satisfy 0 <= lo ({lo_hz}) < hi ({hi_hz}) <= "
+            f"Nyquist ({nyq})"
+        )
 
     def lowpass(cut):
         h = np.sinc(2 * cut / fs * t) * (2 * cut / fs)
@@ -41,7 +46,7 @@ def fir_bandpass(
     x: jnp.ndarray, lo_hz: float = 0.5, hi_hz: float = 40.0, fs: float = 500.0, num_taps: int = 101
 ) -> jnp.ndarray:
     """Zero-phase-ish FIR bandpass applied per lead. x: [B, T, C]."""
-    h = jnp.asarray(_sinc_kernel(lo_hz, hi_hz, fs, num_taps))
+    h = jnp.asarray(_sinc_kernel(lo_hz, hi_hz, fs, num_taps), dtype=x.dtype)
     k = h.shape[0]
     c = x.shape[-1]
     # depthwise conv: feature_group_count = C, kernel [k, 1, C]
