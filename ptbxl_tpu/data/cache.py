@@ -163,6 +163,20 @@ class ADCCache:
                         "cannot store it losslessly — run with "
                         "use_adc_cache=False for this dataset"
                     )
+                # -32768 is WFDB's missing-sample marker only in fmt 16/61/160
+                # (io/wfdb_io.py _MISSING); in other formats an ADC of -32768
+                # is either a legitimate amplitude (8/24/32) or a decode
+                # anomaly — get_physical would silently turn it into NaN
+                if (adc == _SENTINEL16).any() and any(
+                    s.fmt not in (16, 61, 160) for s in headers[i].signals
+                ):
+                    raise ValueError(
+                        f"record {rel} (fmt "
+                        f"{sorted({s.fmt for s in headers[i].signals})}) contains "
+                        "ADC value -32768, which the int16 cache reserves as the "
+                        "NaN sentinel — run with use_adc_cache=False for this "
+                        "dataset"
+                    )
                 mm[i] = adc.T.astype(np.int16)
                 if verbose and (i + 1) % 2000 == 0:
                     print(f"[ADCCache] decoded {i + 1}/{n} records")

@@ -94,6 +94,17 @@ def folded_layer_inputs(folded: Dict[str, Any], x: jnp.ndarray) -> list:
     return list(run(wb, x))
 
 
+def _validate_int8_layers(int8_layers: Sequence[int], n_blocks: int) -> None:
+    """Loud error on out-of-range conv indices (e.g. --int8_layers 4 on a
+    4-block net) instead of an opaque IndexError/KeyError during tracing."""
+    bad = [i for i in int8_layers if not 0 <= int(i) < n_blocks]
+    if bad:
+        raise ValueError(
+            f"int8_layers {bad} out of range: this stack has {n_blocks} conv "
+            f"blocks (valid indices 0..{n_blocks - 1})"
+        )
+
+
 def calibrate_act_scales(
     folded: Dict[str, Any],
     x_calib: jnp.ndarray,
@@ -103,6 +114,7 @@ def calibrate_act_scales(
 
     ``x_calib``: [N, T, 12] z-scored calibration signals (channels-last).
     """
+    _validate_int8_layers(int8_layers, folded["n_blocks"])
     need = set(int8_layers)
     taps = folded_layer_inputs(folded, x_calib)
     scales = {}
@@ -125,6 +137,7 @@ def quantize_folded(
     ``sx{i}`` f32 [Cin] activation scales; other layers keep bf16 weights.
     Dense tails are passed through unchanged.
     """
+    _validate_int8_layers(int8_layers, folded["n_blocks"])
     q: Dict[str, Any] = {"n_blocks": folded["n_blocks"],
                          "int8_layers": tuple(sorted(int8_layers))}
     for i in range(folded["n_blocks"]):

@@ -52,7 +52,11 @@ def maybe_initialize_distributed(
     )
 
     if coordinator_address is None and num_processes is None:
-        if os.environ.get("PTBXL_TPU_DISTRIBUTED", "") not in ("", "0"):
+        # strict truthiness: '=1' per the docstring contract — 'false'/'no'
+        # must NOT trigger initialize() (it can hang on a single host)
+        if os.environ.get("PTBXL_TPU_DISTRIBUTED", "").strip().lower() in (
+            "1", "true", "yes",
+        ):
             jax.distributed.initialize()  # cluster auto-detection
             return True
         return False  # single host; nothing to do

@@ -178,7 +178,7 @@ def export_serving_artifact(
     n_leads: int = 12,
     normalize: bool = True,
     precision: str = "highest",  # 'highest' (f32) | 'default' (bf16) | 'int8' (PTQ)
-    platforms: Sequence[str] = ("cpu", "tpu"),
+    platforms: Optional[Sequence[str]] = None,  # default ('cpu', 'tpu')
     with_cam: bool = False,
     engine: str = "xla",  # 'xla' | 'pallas' (fused single-kernel, tpu-only)
     batch_size: Optional[int] = None,
@@ -219,6 +219,22 @@ def export_serving_artifact(
 
     from ptbxl_tpu.models.params_io import load_checkpoint
 
+    requested_platforms = tuple(platforms) if platforms is not None else None
+    platforms = requested_platforms or ("cpu", "tpu")
+
+    def _constrain_platforms(forced, why):
+        """Engine/sharding constraints replace the platform list; an explicit
+        user request that differs deserves a loud warning, not silence."""
+        if requested_platforms is not None and requested_platforms != tuple(forced):
+            import warnings
+
+            warnings.warn(
+                f"platforms={list(requested_platforms)} overridden to "
+                f"{list(forced)}: {why}",
+                stacklevel=3,
+            )
+        return tuple(forced)
+
     variables, classes = load_checkpoint(ckpt_path, arch=arch)
     disabled_checks = []
     if precision == "int8" and (with_cam or engine == "pallas"):
@@ -250,7 +266,9 @@ def export_serving_artifact(
             def forward(x):
                 return fused_ecgcnn_probs(x, folded, normalize=normalize)
 
-        platforms = ("tpu",)
+        platforms = _constrain_platforms(
+            ("tpu",), "engine='pallas' is a Mosaic custom call (tpu-only)"
+        )
         batch_size = batch_size or 8
         disabled_checks = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
     elif with_cam:
@@ -286,7 +304,10 @@ def export_serving_artifact(
         jit_fn = jax.jit(forward, in_shardings=(sharding,) * n_in,
                          out_shardings=sharding)
         # a sharded module is lowered for the exporting backend only
-        platforms = (jax.default_backend(),)
+        platforms = _constrain_platforms(
+            (jax.default_backend(),),
+            "data_parallel artifacts lower for the exporting backend only",
+        )
 
     if batch_size is None:
         (b,) = jexport.symbolic_shape("b")
@@ -488,8 +509,9 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
                     help="save_qparams() .npz path — skip fold+calibrate "
                          "(precision=int8)")
     pe.add_argument("--no_normalize", action="store_true")
-    pe.add_argument("--platforms", default="cpu,tpu",
-                    help="comma-separated lowering platforms")
+    pe.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms "
+                         "(default cpu,tpu; engine/data_parallel may constrain)")
 
     pi = sub.add_parser("info", help="print an artifact's embedded contract")
     pi.add_argument("artifact")
@@ -499,7 +521,9 @@ def _main(argv: Optional[Sequence[str]] = None) -> int:
         out = export_serving_artifact(
             args.ckpt, args.out, arch=args.arch, num_labels=args.num_labels,
             normalize=not args.no_normalize, precision=args.precision,
-            platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()), with_cam=args.with_cam,
+            platforms=(tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+                       if args.platforms else None),
+            with_cam=args.with_cam,
             engine=args.engine, batch_size=args.batch_size,
             data_parallel=args.data_parallel,
             int8_layers=(tuple(int(i) for i in args.int8_layers.split(","))

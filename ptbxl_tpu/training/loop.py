@@ -183,9 +183,11 @@ def eval_one_epoch(
         if loss_mode == "per_sample":
             total += float(losses.sum())
             weight += float(mask.sum())
-        else:
-            total += float(losses.mean()) if mask.any() else 0.0
+        elif mask.any():
+            total += float(losses.mean())
             weight += 1.0
+        # an all-padding batch contributes NO per_batch weight: counting it as
+        # a 0.0-loss batch would silently bias the multimodal val loss down
 
     if not y_list:
         raise ValueError(

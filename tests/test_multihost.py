@@ -27,6 +27,36 @@ def test_maybe_initialize_is_noop_without_cluster_env(monkeypatch):
     assert maybe_initialize_distributed() is False
 
 
+@pytest.mark.parametrize("value", ["0", "false", "no", "False", "NO", " "])
+def test_distributed_env_falsey_values_stay_noop(monkeypatch, value):
+    """PTBXL_TPU_DISTRIBUTED=false/no must NOT call jax.distributed.initialize
+    (which can hang on a single host) — the contract is '=1'."""
+    import jax
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("PTBXL_TPU_DISTRIBUTED", value)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    assert maybe_initialize_distributed() is False
+    assert calls == []
+
+
+@pytest.mark.parametrize("value", ["1", "true", "YES"])
+def test_distributed_env_truthy_values_initialize(monkeypatch, value):
+    import jax
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("PTBXL_TPU_DISTRIBUTED", value)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    assert maybe_initialize_distributed() is True
+    assert len(calls) == 1
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

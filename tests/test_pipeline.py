@@ -1,5 +1,7 @@
 """Batch pipeline: cache equivalence, padding/masking, prefetch, device ops."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -186,3 +188,47 @@ def test_adc_cache_invalidated_by_content_change(ptbxl_dir, tmp_path):
         assert bin1 != bin2, "cache key unchanged after .dat content change"
     finally:
         shutil.move(dat + ".bak", dat)
+
+
+def test_adc_cache_rejects_legit_minus32768_in_wide_formats(tmp_path):
+    """fmt-32 can legitimately contain amplitude -32768; the int16 cache would
+    silently read it back as NaN (its sentinel), so the build must refuse."""
+    import numpy as np
+    import pytest
+
+    from ptbxl_tpu.io.wfdb_io import write_record
+
+    root = str(tmp_path / "wide")
+    rel = "records500/00000/w1_hr"
+    sig = np.zeros((64, 2), np.float32)
+    sig[5, 0] = -32.768  # gain 1000 -> ADC exactly -32768
+    write_record(os.path.join(root, rel), sig, fmt=32, gain=1000.0)
+
+    cache = ADCCache(root, [rel], cache_dir=str(tmp_path / "cache"))
+    with pytest.raises(ValueError, match="-32768"):
+        cache.ensure_built(verbose=False)
+
+
+def test_adc_cache_keeps_fmt16_sentinel_roundtrip(tmp_path):
+    """In fmt 16, -32768 IS WFDB's missing marker: the cache stores it and
+    get_physical restores NaN — same as the direct read path."""
+    import numpy as np
+
+    from ptbxl_tpu.io.wfdb_io import rdsamp, write_record_fmt16
+
+    root = str(tmp_path / "f16")
+    rel = "records500/00000/s1_hr"
+    sig = np.zeros((64, 2), np.float32)
+    write_record_fmt16(os.path.join(root, rel), sig, gain=1000.0)
+    # patch one stored sample to the sentinel
+    path = os.path.join(root, rel) + ".dat"
+    raw = bytearray(open(path, "rb").read())
+    raw[0:2] = (-32768).to_bytes(2, "little", signed=True)
+    open(path, "wb").write(bytes(raw))
+
+    cache = ADCCache(root, [rel], cache_dir=str(tmp_path / "cache")).ensure_built(
+        verbose=False
+    )
+    phys = cache.get_physical([0])[0]  # [L, T]
+    direct, _ = rdsamp(os.path.join(root, rel))  # [T, L]
+    assert np.isnan(phys[0, 0]) and np.isnan(direct[0, 0])

@@ -189,3 +189,21 @@ def test_int8_num_labels_mismatch_raises():
     """The quantized path never touches flax, so it validates loudly itself."""
     with pytest.raises(ValueError, match="labels"):
         Predictor.from_checkpoint(AF_CKPT, precision="int8")  # default 5 != 1
+
+
+def test_int8_layers_out_of_range_raises(rng):
+    """Out-of-range conv indices fail loudly, not as an IndexError mid-trace."""
+    from ptbxl_tpu.ops.quant import quantize_model
+    from ptbxl_tpu.models.params_io import load_checkpoint
+
+    folded = _tiny_folded(rng)  # 2 blocks
+    with pytest.raises(ValueError, match=r"int8_layers \[4\]"):
+        calibrate_act_scales(
+            folded, np.zeros((1, 32, 4), np.float32), int8_layers=(0, 4)
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        quantize_folded(folded, {}, int8_layers=(-1,))
+
+    variables, _ = load_checkpoint(CKPT, arch="ecgcnn")
+    with pytest.raises(ValueError, match="0..3"):
+        quantize_model(variables, calib_signals=_demo_sigs()[:1], int8_layers=(4,))

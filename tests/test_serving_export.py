@@ -302,3 +302,24 @@ def test_int8_meta_records_layer_set(tmp_path):
                             precision="int8")
     m = ServingModel(path)
     assert tuple(m.meta["int8_layers"]) == default_int8_layers("ecgcnn")
+
+
+def test_explicit_platforms_override_warns(tmp_path):
+    """Explicit --platforms replaced by an engine/sharding constraint must
+    warn, not silently drop the request (data_parallel lowers for the
+    exporting backend only)."""
+    import warnings
+
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    path = str(tmp_path / "dp_warn.stablehlo")
+    with pytest.warns(UserWarning, match="overridden"):
+        export_serving_artifact(BASELINE_CKPT, path, data_parallel=True,
+                                batch_size=8, platforms=("cpu", "tpu"))
+    # the default (platforms=None) stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        export_serving_artifact(BASELINE_CKPT, path, data_parallel=True,
+                                batch_size=8)

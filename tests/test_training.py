@@ -122,6 +122,25 @@ def test_loss_mode_aggregation(rng):
     np.testing.assert_allclose(per_batch, (l1 + l2) / 2, rtol=1e-5)
 
 
+def test_eval_per_batch_ignores_all_padding_batch(rng):
+    """An all-padding batch must not dilute the per_batch val loss with a
+    phantom 0.0-loss batch (API-level guard; today's BatchSource never emits
+    one, but eval_one_epoch is public)."""
+    model, variables = build_ecgcnn(num_labels=5, seed=0)
+    tx = make_optimizer(1e-3, 0.0)
+    state = create_train_state(model, variables, tx)
+    eval_step = make_eval_step(model)
+
+    real = _batch(rng, bs=8)
+    all_pad = _batch(rng, bs=8, mask_last=8)
+
+    m_real = eval_one_epoch(state, eval_step, iter([real]), loss_mode="per_batch")
+    m_with_pad = eval_one_epoch(
+        state, eval_step, iter([real, all_pad]), loss_mode="per_batch"
+    )
+    np.testing.assert_allclose(m_with_pad["bce_loss"], m_real["bce_loss"], rtol=1e-6)
+
+
 def test_eval_epoch_metrics_shape(rng):
     model, variables = build_ecgcnn(num_labels=5, seed=0)
     tx = make_optimizer(1e-3, 0.0)
