@@ -178,3 +178,15 @@ def test_data_parallel_matches_single_device(rng):
     b1 = jax.device_get(s1.batch_stats)["blocks_0"]["bn"]["mean"]
     b8 = jax.device_get(s8.batch_stats)["blocks_0"]["bn"]["mean"]
     np.testing.assert_allclose(b1, b8, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_multichip_equality_at_production_shape():
+    """The driver's dryrun at the REAL shape [B, 5000, 12]: the DP(+model-axis)
+    sharded step must match the unsharded step in loss, gradients (via an SGD
+    params gate) and BN statistics — layout/padding decisions bite only at
+    full length, so toy shapes can't stand in for this."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
