@@ -76,6 +76,14 @@ class TrainRun:
     )
     resume: bool = False
     pth_export: bool = True
+    # Large-batch recipe (extension; the reference has no LR schedule):
+    # lr_scaling='linear' applies lr * batch_size/ref_batch_size and
+    # warmup_steps ramps the LR linearly from 0 — see
+    # train_state.large_batch_lr, convergence-gated by
+    # tests/test_learning.py[large-batch].
+    warmup_steps: int = 0
+    lr_scaling: str = "none"  # 'none' | 'linear'
+    ref_batch_size: int = 64
     progress: Optional[Callable[[int, float, Dict[str, float]], None]] = None
     train_desc: str = "Train"  # tqdm bar labels (reference: loop.py:22,53)
     eval_desc: str = "Eval"
@@ -129,7 +137,17 @@ def train(run: TrainRun) -> TrainState:
     b_shard = batch_sharding(mesh)
     r_shard = replicated_sharding(mesh)
 
-    tx = make_optimizer(run.lr, run.weight_decay)
+    lr = run.lr
+    if run.lr_scaling == "linear":
+        from ptbxl_tpu.training.train_state import large_batch_lr
+
+        lr = large_batch_lr(run.lr, run.batch_size, run.ref_batch_size)
+        print(f"[INFO] Large-batch LR scaling: lr {run.lr:g} -> {lr:g} "
+              f"(batch {run.batch_size} vs ref {run.ref_batch_size}, "
+              f"warmup {run.warmup_steps} steps)")
+    elif run.lr_scaling != "none":
+        raise ValueError(f"unknown lr_scaling {run.lr_scaling!r} (none|linear)")
+    tx = make_optimizer(lr, run.weight_decay, warmup_steps=run.warmup_steps)
     state = create_train_state(run.model, run.variables, tx)
     state = jax.device_put(state, r_shard)
 

@@ -97,6 +97,10 @@ def main(args):
         val_print="Val metrics",
         best_print=lambda best, path: f"★ New best AUPRC: {best:.4f}",
         resume=args.resume,
+        # large-batch recipe knobs (extension; dormant at defaults)
+        warmup_steps=int(train_cfg.get("warmup_steps", 0)),
+        lr_scaling=str(train_cfg.get("lr_scaling", "none")),
+        ref_batch_size=int(train_cfg.get("ref_batch_size", 64)),
     )
     train(run)
 

@@ -110,6 +110,10 @@ def main(args):
         val_print="Val-ECG-MM metrics",
         best_print=lambda best, path: f"[INFO] New best AUPRC {best:.4f}, saved to {path}",
         resume=args.resume,
+        # large-batch recipe knobs (extension; dormant at defaults)
+        warmup_steps=int(train_cfg.get("warmup_steps", 0)),
+        lr_scaling=str(train_cfg.get("lr_scaling", "none")),
+        ref_batch_size=int(train_cfg.get("ref_batch_size", 64)),
         train_desc="Train-ECG+Demo",
         eval_desc="Val-ECG+Demo",
     )

@@ -20,7 +20,11 @@ from ptbxl_tpu.training.loop import (  # noqa: E402
     make_train_step,
     train_one_epoch,
 )
-from ptbxl_tpu.training.train_state import create_train_state, make_optimizer  # noqa: E402
+from ptbxl_tpu.training.train_state import (  # noqa: E402
+    create_train_state,
+    large_batch_lr,
+    make_optimizer,
+)
 
 T = 512
 FS = 500.0
@@ -114,3 +118,40 @@ def test_training_learns_af_like_task(precision, dtype):
         f"(untrained: {first_metrics['auroc_macro']:.3f})"
     )
     assert final_metrics["auroc_macro"] > first_metrics["auroc_macro"]
+
+
+@pytest.mark.slow
+def test_large_batch_recipe_learns():
+    """Convergence gate for the large-batch recipe (linear LR scaling +
+    warmup, train_state.large_batch_lr): 6x the reference batch with the
+    scaled LR must still learn the task.  This is the quality gate behind
+    the bench's large-batch training rows and the train.lr_scaling /
+    train.warmup_steps config keys."""
+    train_ds = _SyntheticBeats(192, seed=0)
+    val_ds = _SyntheticBeats(64, seed=1)
+
+    model, variables = build_ecgcnn(num_labels=1, seed=0)
+    bs = 64  # 4x the small-batch test's 16
+    lr = large_batch_lr(1e-3, bs, ref_batch_size=16)
+    tx = make_optimizer(lr, 1e-4, warmup_steps=8)
+    state = create_train_state(model, variables, tx)
+    train_step = make_train_step(model, tx, donate=False)
+    eval_step = make_eval_step(model)
+
+    train_src = _ArraySource(train_ds, bs, True)
+    val_src = _ArraySource(val_ds, bs, False)
+
+    # 12 epochs = 36 steps: BN running stats (momentum 0.9) need tens of
+    # steps to track the trained batch statistics — at <~25 total steps the
+    # train loss reaches ~0 while EVAL-mode AUROC is still 0.5 (measured;
+    # the caveat is documented with the recipe in docs/ARCHITECTURE.md)
+    losses = []
+    for epoch in range(12):
+        state, loss = train_one_epoch(state, train_step, train_src.epoch(epoch))
+        losses.append(loss)
+    final_metrics = eval_one_epoch(state, eval_step, val_src.epoch(0))
+
+    assert losses[-1] < losses[0] * 0.7, f"loss did not drop: {losses}"
+    assert final_metrics["auroc_macro"] > 0.9, (
+        f"large-batch AUROC {final_metrics['auroc_macro']:.3f}"
+    )

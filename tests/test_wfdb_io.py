@@ -307,3 +307,96 @@ def test_write_unsupported_format_raises(tmp_path):
 
     with pytest.raises(NotImplementedError):
         write_record(str(tmp_path / "w999"), np.zeros((4, 1)), fmt=999)
+
+
+# ---------------------------------------------------------------- multi-segment
+
+def _write_master(path, name, n_sig, fs, segments):
+    """Master .hea: record line 'name/N n_sig fs total' + segment lines."""
+    total = sum(n for _, n in segments)
+    lines = [f"{name}/{len(segments)} {n_sig} {fs:g} {total}"]
+    lines += [f"{s} {n}" for s, n in segments]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_multi_segment_fixed_layout(tmp_path):
+    """Fixed layout: segments with the full signal set concatenate in order;
+    a '~' null segment reads as NaN rows (wfdb-python semantics)."""
+    rng = np.random.default_rng(3)
+    s1 = rng.standard_normal((100, 3))
+    s2 = rng.standard_normal((60, 3))
+    write_record_fmt16(str(tmp_path / "seg01"), s1, fs=500.0, gain=1000.0)
+    write_record_fmt16(str(tmp_path / "seg02"), s2, fs=500.0, gain=2000.0)
+    _write_master(tmp_path / "multi.hea", "multi", 3, 500.0,
+                  [("seg01", 100), ("~", 40), ("seg02", 60)])
+
+    phys, header = rdsamp(str(tmp_path / "multi"))
+    assert header.is_multi_segment and header.n_samples == 200
+    assert phys.shape == (200, 3)
+    assert np.max(np.abs(phys[:100] - s1)) <= 0.5 / 1000.0 + 1e-9
+    assert np.isnan(phys[100:140]).all()
+    # second segment has its OWN gain; physical values must still match
+    assert np.max(np.abs(phys[140:] - s2)) <= 0.5 / 2000.0 + 1e-9
+
+
+def test_multi_segment_variable_layout(tmp_path):
+    """Variable layout: a 0-sample layout segment declares the channel set;
+    data segments match channels by description, absent channels are NaN."""
+    rng = np.random.default_rng(4)
+    # layout segment: 3 channels A, B, C (empty .dat)
+    layout_lines = ["lay_layout 3 500 0"]
+    for d in ("chanA", "chanB", "chanC"):
+        layout_lines.append(f"lay_layout.dat 16 1000(0)/mV 16 0 0 0 0 {d}")
+    (tmp_path / "lay_layout.hea").write_text("\n".join(layout_lines) + "\n")
+    (tmp_path / "lay_layout.dat").write_bytes(b"")
+
+    full = rng.standard_normal((50, 3))
+    write_record_fmt16(str(tmp_path / "segA"), full, fs=500.0, gain=1000.0,
+                       descriptions=["chanA", "chanB", "chanC"])
+    sub = rng.standard_normal((30, 2))
+    write_record_fmt16(str(tmp_path / "segB"), sub, fs=500.0, gain=1000.0,
+                       descriptions=["chanC", "chanA"])  # subset, reordered
+
+    _write_master(tmp_path / "vmulti.hea", "vmulti", 3, 500.0,
+                  [("lay_layout", 0), ("segA", 50), ("segB", 30)])
+
+    phys, header = rdsamp(str(tmp_path / "vmulti"))
+    assert phys.shape == (80, 3)
+    assert [s.description for s in header.signals] == ["chanA", "chanB", "chanC"]
+    assert np.max(np.abs(phys[:50] - full)) <= 0.5 / 1000.0 + 1e-9
+    # segB: chanC -> col 2, chanA -> col 0, chanB absent -> NaN
+    assert np.max(np.abs(phys[50:, 2] - sub[:, 0])) <= 0.5 / 1000.0 + 1e-9
+    assert np.max(np.abs(phys[50:, 0] - sub[:, 1])) <= 0.5 / 1000.0 + 1e-9
+    assert np.isnan(phys[50:, 1]).all()
+
+
+def test_multi_segment_errors(tmp_path):
+    rng = np.random.default_rng(5)
+    s1 = rng.standard_normal((20, 2))
+    write_record_fmt16(str(tmp_path / "e1"), s1, gain=1000.0)
+
+    # read_adc refuses multi-segment (ADC cache path must never see one)
+    _write_master(tmp_path / "m1.hea", "m1", 2, 500.0, [("e1", 20)])
+    with pytest.raises(NotImplementedError, match="multi-segment"):
+        read_adc(str(tmp_path / "m1"))
+    phys, _ = rdsamp(str(tmp_path / "m1"))  # single-segment master still reads
+    assert phys.shape == (20, 2)
+
+    # declared length mismatch vs the segment's own header
+    _write_master(tmp_path / "m2.hea", "m2", 2, 500.0, [("e1", 25)])
+    with pytest.raises(ValueError, match="declares 25"):
+        rdsamp(str(tmp_path / "m2"))
+
+    # totals mismatch vs the master record line
+    _write_master(tmp_path / "m3.hea", "m3", 2, 500.0, [("e1", 20)])
+    txt = (tmp_path / "m3.hea").read_text().splitlines()
+    txt[0] = "m3/1 2 500 99"
+    (tmp_path / "m3.hea").write_text("\n".join(txt) + "\n")
+    with pytest.raises(ValueError, match="master header declares 99"):
+        rdsamp(str(tmp_path / "m3"))
+
+    # fixed-layout signal-count mismatch
+    _write_master(tmp_path / "m4.hea", "m4", 3, 500.0, [("e1", 20)])
+    with pytest.raises(ValueError, match="record declares 3"):
+        rdsamp(str(tmp_path / "m4"))
