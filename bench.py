@@ -928,6 +928,40 @@ def main():
                       f"full {ph['step_rps']:.0f} "
                       f"(optimizer {ph['optimizer_ms']:.1f} ms)", file=sys.stderr)
 
+        # int8 distributional battery (ops/quant_eval.py): error quantiles +
+        # decision-flip rate for the shipped default (demo-pack calibration)
+        # and the robust preset; the robust preset is hard-gated
+        def _int8_battery():
+            from ptbxl_tpu.models.params_io import load_npz
+            from ptbxl_tpu.ops.quant_eval import (
+                BATTERY_GATE,
+                make_battery,
+                passes_battery_gate,
+                quant_accuracy_report,
+                robust_calibration_signals,
+            )
+
+            ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+            variables, _ = load_npz(ckpt)
+            bat = make_battery()
+            default = quant_accuracy_report(variables, "ecgcnn", signals=bat)
+            robust = quant_accuracy_report(
+                variables, "ecgcnn", signals=bat,
+                calib_signals=robust_calibration_signals())
+            robust["gate_ok"] = passes_battery_gate(robust)
+            return {"gate": BATTERY_GATE, "default_calib": default,
+                    "robust_calib": robust}
+
+        ib = _record("int8_battery", _int8_battery)
+        if ib and "error" not in ib:
+            d, r = ib["default_calib"], ib["robust_calib"]
+            print(f"# int8 battery ({d['n']} signals): default calib "
+                  f"max {d['max']:.2e} p99 {d['p99']:.2e} flips {d['flips']} | "
+                  f"robust calib max {r['max']:.2e} p99 {r['p99']:.2e} "
+                  f"flips {r['flips']} "
+                  f"[{'ok' if r['gate_ok'] else 'GATE FAIL'}]", file=sys.stderr)
+
         stages = _record("pipeline_stages", bench_pipeline_stages)
         if stages and "error" not in stages:
             device_rps = best["rps"] if best else float("nan")

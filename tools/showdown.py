@@ -44,7 +44,7 @@ OUT_DIR = os.path.join(HERE, "outputs", "showdown")
 
 # ---------------------------------------------------------------- dataset
 
-def synth_record(rng, t, labels, T, fs):
+def synth_record(rng, t, labels, T, fs, hard=False):
     """One [12, T] record whose morphology encodes the 5 superclass labels.
 
     Cues (each with per-record strength, so some examples are hard):
@@ -53,35 +53,42 @@ def synth_record(rng, t, labels, T, fs):
       HYP  — enlarged beat amplitude
       CD   — widened beats (lower sharpening power)
       NORM — none of the above (label = absence, like PTB-XL's NORM)
+
+    ``hard`` halves the cue strengths and doubles the noise so the task
+    plateaus mid-range instead of saturating — a saturated comparison
+    (both frameworks at 0.9997) proves less than one at an intrinsic
+    ceiling both must hit.
     """
     mi, sttc, hyp, cd, _norm = labels
+    cue = 0.45 if hard else 1.0  # cue-strength multiplier
+    noise = 0.75 if hard else 0.35
     hr = rng.uniform(0.9, 1.4)  # beats/s
     phase = rng.uniform(0, 2 * np.pi)
-    width_pow = 9.0 - 5.0 * cd * rng.uniform(0.6, 1.0)  # CD: wider QRS
+    width_pow = 9.0 - 5.0 * cd * cue * rng.uniform(0.6, 1.0)  # CD: wider QRS
     carrier = np.sin(2 * np.pi * hr * t + phase)
     beat = np.sign(carrier) * np.abs(carrier) ** width_pow
     envelope = np.abs(carrier) ** 6
 
-    amp = 1.0 + 0.8 * hyp * rng.uniform(0.5, 1.2)  # HYP: amplitude
+    amp = 1.0 + 0.8 * cue * hyp * rng.uniform(0.5, 1.2)  # HYP: amplitude
     x = amp * beat
 
     if mi:
-        s = rng.uniform(0.4, 1.0)
+        s = cue * rng.uniform(0.4, 1.0)
         shift = int(0.15 * fs)  # deflection ~150 ms after the beat peak
         x = x - 0.45 * s * np.roll(envelope, shift)
     if sttc:
-        s = rng.uniform(0.4, 1.0)
+        s = cue * rng.uniform(0.4, 1.0)
         x = x + 0.35 * s * envelope * np.sin(2 * np.pi * 9.0 * t + phase)
 
     leads = []
     for _ in range(12):
         g = rng.uniform(0.5, 1.5)
         wander = 0.2 * np.sin(2 * np.pi * rng.uniform(0.1, 0.3) * t + rng.uniform(0, 6))
-        leads.append(g * x + wander + 0.35 * rng.standard_normal(T))
+        leads.append(g * x + wander + noise * rng.standard_normal(T))
     return np.stack(leads).astype(np.float32)
 
 
-def make_split(n, seed, T=5000, fs=500.0):
+def make_split(n, seed, T=5000, fs=500.0, hard=False, label_flip=0.0):
     rng = np.random.default_rng(seed)
     t = np.arange(T) / fs
     ys, xs = [], []
@@ -89,15 +96,21 @@ def make_split(n, seed, T=5000, fs=500.0):
         lab = (rng.uniform(size=4) < 0.35).astype(np.float32)
         norm = 1.0 if lab.sum() == 0 else 0.0
         y = np.concatenate([lab, [norm]]).astype(np.float32)
+        xs.append(synth_record(rng, t, y, T, fs, hard=hard))
+        if label_flip:
+            # label noise AFTER the waveform: an irreducible AUROC ceiling
+            # both frameworks must hit identically (deterministic per seed)
+            flip = rng.uniform(size=5) < label_flip
+            y = np.where(flip, 1.0 - y, y).astype(np.float32)
         ys.append(y)
-        xs.append(synth_record(rng, t, y, T, fs))
     return np.stack(xs), np.stack(ys)
 
 
 def dataset_path(cfg):
+    tag = "_hard" if cfg.get("hard") else ""
     return os.path.join(
         OUT_DIR, f"miniptb_{cfg['n_train']}_{cfg['n_val']}_{cfg['n_test']}"
-        f"_T{cfg['T']}_s{cfg['seed']}.npz"
+        f"_T{cfg['T']}_s{cfg['seed']}{tag}.npz"
     )
 
 
@@ -108,9 +121,14 @@ def ensure_dataset(cfg):
     os.makedirs(OUT_DIR, exist_ok=True)
     print(f"[showdown] generating dataset -> {path}", flush=True)
     t0 = time.time()
-    x_tr, y_tr = make_split(cfg["n_train"], cfg["seed"], cfg["T"])
-    x_va, y_va = make_split(cfg["n_val"], cfg["seed"] + 1, cfg["T"])
-    x_te, y_te = make_split(cfg["n_test"], cfg["seed"] + 2, cfg["T"])
+    hard = bool(cfg.get("hard"))
+    flip = 0.04 if hard else 0.0
+    x_tr, y_tr = make_split(cfg["n_train"], cfg["seed"], cfg["T"],
+                            hard=hard, label_flip=flip)
+    x_va, y_va = make_split(cfg["n_val"], cfg["seed"] + 1, cfg["T"],
+                            hard=hard, label_flip=flip)
+    x_te, y_te = make_split(cfg["n_test"], cfg["seed"] + 2, cfg["T"],
+                            hard=hard, label_flip=flip)
     # uncompressed: ~530 MB for the full config, but white noise doesn't
     # compress and every phase reloads it — IO beats zlib on this box
     np.savez(
@@ -210,7 +228,7 @@ def run_torch(cfg):
         "wall_s": time.time() - t_start,
     }
     os.makedirs(OUT_DIR, exist_ok=True)
-    with open(os.path.join(OUT_DIR, "torch.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"torch{_tag(cfg)}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(f"[torch] FINAL test auroc {test_m['auroc_macro']:.4f} "
           f"auprc {test_m['auprc_macro']:.4f} (best epoch {best['epoch']})",
@@ -301,7 +319,7 @@ def run_jax(cfg):
         "backend": jax.default_backend(),
     }
     os.makedirs(OUT_DIR, exist_ok=True)
-    with open(os.path.join(OUT_DIR, "jax.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"jax{_tag(cfg)}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(f"[jax] FINAL test auroc {test_m['auroc_macro']:.4f} "
           f"auprc {test_m['auprc_macro']:.4f} (best epoch {best['epoch']})",
@@ -311,10 +329,15 @@ def run_jax(cfg):
 
 # ---------------------------------------------------------------- compare
 
-def compare(budget=0.005):
-    with open(os.path.join(OUT_DIR, "torch.json")) as f:
+def _tag(cfg):
+    return "_hard" if cfg.get("hard") else ""
+
+
+def compare(budget=0.005, cfg=None):
+    tag = _tag(cfg or {})
+    with open(os.path.join(OUT_DIR, f"torch{tag}.json")) as f:
         t = json.load(f)
-    with open(os.path.join(OUT_DIR, "jax.json")) as f:
+    with open(os.path.join(OUT_DIR, f"jax{tag}.json")) as f:
         j = json.load(f)
     d_auroc = abs(t["test_auroc_macro"] - j["test_auroc_macro"])
     d_auprc = abs(t["test_auprc_macro"] - j["test_auprc_macro"])
@@ -331,7 +354,7 @@ def compare(budget=0.005):
         "within_budget": d_auroc <= budget,
         "config": t["config"],
     }
-    with open(os.path.join(OUT_DIR, "report.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"report{tag}.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
     if not report["within_budget"]:
@@ -345,16 +368,20 @@ def make_config(args):
     if args.quick:
         return {"n_train": 96, "n_val": 48, "n_test": 64, "T": 1250,
                 "seed": args.seed, "batch_size": 16, "epochs": 2,
-                "lr": 1.5e-3, "weight_decay": 1e-4}
+                "lr": 1.5e-3, "weight_decay": 1e-4, "hard": args.hard}
     return {"n_train": args.n_train, "n_val": args.n_val, "n_test": args.n_test,
             "T": 5000, "seed": args.seed, "batch_size": 64,
-            "epochs": args.epochs, "lr": 1.5e-3, "weight_decay": 1e-4}
+            "epochs": args.epochs, "lr": 1.5e-3, "weight_decay": 1e-4,
+            "hard": args.hard}
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("cmd", choices=["run", "gen", "torch", "jax", "compare"])
     p.add_argument("--quick", action="store_true", help="smoke-sized")
+    p.add_argument("--hard", action="store_true",
+                   help="low-SNR + 4%% label-noise variant (mid-range "
+                        "AUROC plateau instead of saturation)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--n_train", type=int, default=1200)
@@ -371,12 +398,12 @@ def main():
     elif args.cmd == "jax":
         run_jax(cfg)
     elif args.cmd == "compare":
-        sys.exit(compare(args.budget))
+        sys.exit(compare(args.budget, cfg))
     else:  # run
         ensure_dataset(cfg)
         run_jax(cfg)
         run_torch(cfg)
-        sys.exit(compare(args.budget))
+        sys.exit(compare(args.budget, cfg))
 
 
 if __name__ == "__main__":

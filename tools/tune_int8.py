@@ -47,6 +47,16 @@ def main():
     ap.add_argument("--batch", type=int, nargs="+", default=[12288])
     ap.add_argument("--sets", default="3|1,3|2,3|1,2,3|0,1,3|0,1,2,3")
     ap.add_argument("--gate", type=float, default=5e-3)
+    ap.add_argument("--battery", type=int, default=512,
+                    help="distributional battery size (ops/quant_eval.py); "
+                         "0 disables the battery columns")
+    ap.add_argument("--robust_calib", action="store_true",
+                    help="calibrate on the diverse synthetic set instead of "
+                         "the demo pack (bounds the battery tail; see "
+                         "quant_eval.robust_calibration_signals)")
+    ap.add_argument("--bias_correct", action="store_true",
+                    help="fold calibration-set mean quantization error into "
+                         "the conv biases")
     args = ap.parse_args()
 
     import bench
@@ -73,11 +83,30 @@ def main():
                       num_labels=args.num_labels)
     ref = ref_p(ecgs, demo=demo) if demo is not None else ref_p(ecgs)
 
+    calib = None
+    if args.robust_calib:
+        from ptbxl_tpu.ops.quant_eval import robust_calibration_signals
+
+        calib = robust_calibration_signals()
+    battery = None
+    if args.battery:
+        from ptbxl_tpu.ops.quant_eval import make_battery, quant_accuracy_report
+
+        battery = make_battery(n=args.battery)
+
     best = None
     for layers in parse_sets(args.sets):
-        q = quantize_model(variables, arch=args.arch, int8_layers=layers)
+        q = quantize_model(variables, arch=args.arch, int8_layers=layers,
+                           calib_signals=calib, bias_correct=args.bias_correct)
         arrs, nb, ls = split_meta(q)
         fwd = make_quantized_forward(nb, ls, arch=args.arch)
+        bat = ""
+        if battery is not None:
+            rep = quant_accuracy_report(
+                variables, args.arch, num_labels=args.num_labels,
+                signals=battery, q=q)
+            bat = (f"  battery[max {rep['max']:.2e} p99 {rep['p99']:.2e} "
+                   f"flips {rep['flips']}/{rep['num_decisions']}]")
 
         xj = jnp.asarray(ecgs.transpose(0, 2, 1))
         if args.arch == "multimodal":
@@ -100,7 +129,7 @@ def main():
             del xb
             mark = "ok " if gate_ok else "FAIL"
             print(f"layers={str(layers):12s} bs={bs:6d}  {rps:10,.0f} rec/s  "
-                  f"parity={err:.2e} [{mark}]", flush=True)
+                  f"parity={err:.2e} [{mark}]{bat}", flush=True)
             if gate_ok and (best is None or rps > best[0]):
                 best = (rps, layers, bs, err)
 
