@@ -593,9 +593,11 @@ def bench_train_phases(batch_size=256, iters=10, precision=None, dtype_name="bf1
             (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats,
                 x0 * (1.0 + c * 1e-30), batch["y"], batch["mask"])
-            # fold a cheap grad reduction into the carry so the backward pass
-            # is live (dead-code elimination would drop unused grads)
-            g = grads["head"]["bias"]
+            # keep the DEEP backward live: the first conv kernel's gradient
+            # needs backprop through the whole stack (a head-bias grad would
+            # let XLA dead-code-eliminate the conv backward — measured: fwd
+            # and "fwd+bwd" timed identical before this fix)
+            g = grads["blocks_0"]["conv"]["kernel"]
             return (loss + jnp.sum(g) * 1e-30).astype(jnp.float32), loss
 
         _, losses = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)

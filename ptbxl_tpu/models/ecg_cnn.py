@@ -22,7 +22,9 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # Numerical-parity note: this environment's default conv/dot precision reduces
@@ -30,6 +32,42 @@ from flax import linen as nn
 # uses "highest" (true f32); the perf path can relax to "default" (bf16 passes
 # on the MXU) via the ``precision`` attribute.
 PARITY_PRECISION = "highest"
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """torch's nn.Conv1d/Linear default weight init.
+
+    kaiming_uniform(a=sqrt(5)) reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in));
+    fan_in = prod(shape[:-1]) covers both Dense [in, out] and Conv HIO
+    [k, in, out] kernels.  Flax's default is lecun_normal + zero bias —
+    a ~1.7x narrower weight distribution and no bias noise — which changes
+    from-scratch training trajectories enough to matter on hard tasks
+    (measured by tools/showdown.py --hard); ``torch_init=True`` on the
+    models reproduces the reference's init distribution exactly
+    (reference model: src/models/ecg_cnn.py via torch defaults).
+    """
+    fan_in = int(np.prod(shape[:-1]))
+    bound = fan_in ** -0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    """torch's default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    The bias initializer only sees shape [out], so fan_in is closed over.
+    """
+    bound = fan_in ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _dense_kwargs(torch_init: bool, fan_in: int):
+    if not torch_init:
+        return {}
+    return {"kernel_init": torch_kernel_init, "bias_init": torch_bias_init(fan_in)}
 
 
 class ConvBlock(nn.Module):
@@ -44,16 +82,25 @@ class ConvBlock(nn.Module):
     pool: int = 2
     precision: Optional[str] = PARITY_PRECISION
     dtype: Optional[jnp.dtype] = jnp.float32
+    torch_init: bool = False
+    in_features: Optional[int] = None  # required when torch_init (bias fan_in)
 
     def setup(self):
         k = self.kernel_size
+        extra = {}
+        if self.torch_init:
+            if self.in_features is None:
+                raise ValueError("torch_init requires in_features (bias fan_in)")
+            extra = _dense_kwargs(True, self.in_features * k)
         self.conv = nn.Conv(
             self.features,
             kernel_size=(k,),
             padding=[(k // 2, k // 2)],
             dtype=self.dtype,
             precision=self.precision,
+            **extra,
         )
+        # BatchNorm affine init (scale 1, bias 0) matches torch already
         self.bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
     def conv_only(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -78,16 +125,22 @@ class ECGCNN(nn.Module):
     feat_dim: int = 256
     num_labels: int = 3
     channels: Sequence[int] = (32, 64, 128, 256)
-    in_leads: int = 12  # documentation only; Conv infers input channels
+    in_leads: int = 12  # used by Conv input inference and torch_init fan_in
     precision: Optional[str] = PARITY_PRECISION
     dtype: Optional[jnp.dtype] = jnp.float32
+    torch_init: bool = False  # reference init distribution (torch_kernel_init)
 
     def setup(self):
+        cins = [self.in_leads] + list(self.channels[:-1])
         self.blocks = [
-            ConvBlock(c, precision=self.precision, dtype=self.dtype) for c in self.channels
+            ConvBlock(c, precision=self.precision, dtype=self.dtype,
+                      torch_init=self.torch_init, in_features=cin)
+            for c, cin in zip(self.channels, cins)
         ]
-        self.proj = nn.Dense(self.feat_dim, precision=self.precision, dtype=self.dtype)
-        self.head = nn.Dense(self.num_labels, precision=self.precision, dtype=self.dtype)
+        self.proj = nn.Dense(self.feat_dim, precision=self.precision, dtype=self.dtype,
+                             **_dense_kwargs(self.torch_init, self.channels[-1]))
+        self.head = nn.Dense(self.num_labels, precision=self.precision, dtype=self.dtype,
+                             **_dense_kwargs(self.torch_init, self.feat_dim))
 
     def features(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Blocks 0..n-2 fully + last block's conv: the Grad-CAM tap ``A``.

@@ -16,7 +16,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ptbxl_tpu.models.ecg_cnn import PARITY_PRECISION, ConvBlock
+from ptbxl_tpu.models.ecg_cnn import PARITY_PRECISION, ConvBlock, _dense_kwargs
 
 
 class ECGBackbone(nn.Module):
@@ -30,12 +30,17 @@ class ECGBackbone(nn.Module):
     in_leads: int = 12
     precision: Optional[str] = PARITY_PRECISION
     dtype: Optional[jnp.dtype] = jnp.float32
+    torch_init: bool = False  # reference init distribution (ecg_cnn.py)
 
     def setup(self):
+        cins = [self.in_leads] + list(self.channels[:-1])
         self.blocks = [
-            ConvBlock(c, precision=self.precision, dtype=self.dtype) for c in self.channels
+            ConvBlock(c, precision=self.precision, dtype=self.dtype,
+                      torch_init=self.torch_init, in_features=cin)
+            for c, cin in zip(self.channels, cins)
         ]
-        self.proj = nn.Dense(self.feat_dim, precision=self.precision, dtype=self.dtype)
+        self.proj = nn.Dense(self.feat_dim, precision=self.precision, dtype=self.dtype,
+                             **_dense_kwargs(self.torch_init, self.channels[-1]))
 
     def features(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Grad-CAM tap: last conv pre-activation [B, T', C_last]."""
@@ -59,12 +64,16 @@ class DemoEncoder(nn.Module):
     """
 
     hidden_dim: int = 64
+    in_dim: int = 5
     precision: Optional[str] = PARITY_PRECISION
     dtype: Optional[jnp.dtype] = jnp.float32
+    torch_init: bool = False
 
     def setup(self):
-        self.fc1 = nn.Dense(64, precision=self.precision, dtype=self.dtype)
-        self.fc2 = nn.Dense(self.hidden_dim, precision=self.precision, dtype=self.dtype)
+        self.fc1 = nn.Dense(64, precision=self.precision, dtype=self.dtype,
+                            **_dense_kwargs(self.torch_init, self.in_dim))
+        self.fc2 = nn.Dense(self.hidden_dim, precision=self.precision, dtype=self.dtype,
+                            **_dense_kwargs(self.torch_init, 64))
 
     def __call__(self, x_demo: jnp.ndarray) -> jnp.ndarray:
         h = nn.relu(self.fc1(x_demo))
@@ -87,6 +96,7 @@ class ECGMultimodal(nn.Module):
     channels: Sequence[int] = (32, 64, 128, 256)
     precision: Optional[str] = PARITY_PRECISION
     dtype: Optional[jnp.dtype] = jnp.float32
+    torch_init: bool = False
 
     def setup(self):
         self.ecg_backbone = ECGBackbone(
@@ -95,17 +105,21 @@ class ECGMultimodal(nn.Module):
             in_leads=self.in_leads,
             precision=self.precision,
             dtype=self.dtype,
+            torch_init=self.torch_init,
         )
         # the fusion tail follows the model dtype like the backbone does —
         # a bf16-activation config must not silently run a mixed f32 tail
         self.demo_encoder = DemoEncoder(
-            hidden_dim=self.demo_hidden_dim, precision=self.precision,
-            dtype=self.dtype,
+            hidden_dim=self.demo_hidden_dim, in_dim=self.demo_dim,
+            precision=self.precision, dtype=self.dtype,
+            torch_init=self.torch_init,
         )
         self.film_gen = nn.Dense(2 * self.feat_dim, precision=self.precision,
-                                 dtype=self.dtype)
+                                 dtype=self.dtype,
+                                 **_dense_kwargs(self.torch_init, self.demo_hidden_dim))
         self.head = nn.Dense(self.num_labels, precision=self.precision,
-                             dtype=self.dtype)
+                             dtype=self.dtype,
+                             **_dense_kwargs(self.torch_init, self.feat_dim))
 
     def _fuse(self, z_ecg: jnp.ndarray, x_demo: jnp.ndarray) -> jnp.ndarray:
         h_demo = self.demo_encoder(x_demo)

@@ -35,10 +35,11 @@ def build_ecgcnn(
     seed: int = 42,
     precision: Optional[str] = "highest",
     dtype: jnp.dtype = jnp.float32,
+    torch_init: bool = False,
 ) -> Tuple[ECGCNN, Dict]:
     model = ECGCNN(
         feat_dim=feat_dim, num_labels=num_labels, in_leads=in_leads,
-        precision=precision, dtype=dtype,
+        precision=precision, dtype=dtype, torch_init=torch_init,
     )
     # init length is irrelevant to parameter shapes (conv is length-invariant)
     variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, in_leads)))
@@ -53,6 +54,7 @@ def build_multimodal(
     seed: int = 42,
     precision: Optional[str] = "highest",
     dtype: jnp.dtype = jnp.float32,
+    torch_init: bool = False,
 ) -> Tuple[ECGMultimodal, Dict]:
     model = ECGMultimodal(
         feat_dim=ecg_feat_dim,
@@ -61,6 +63,7 @@ def build_multimodal(
         in_leads=in_leads,
         precision=precision,
         dtype=dtype,
+        torch_init=torch_init,
     )
     variables = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, 64, in_leads)), jnp.zeros((1, 5))

@@ -66,6 +66,7 @@ def main(args):
         seed=C.get_seed(cfg),
         precision=train_cfg.get("precision", "highest"),
         dtype=dtype_from_config(train_cfg.get("dtype", "float32")),
+        torch_init=bool(model_cfg.get("torch_init", False)),
     )
 
     ckpt_dir = os.path.join(out_dir, "ckpts")

@@ -123,3 +123,40 @@ def test_return_features(baseline):
     x = jnp.zeros((2, 5000, 12))
     logits, z = model.apply(variables, x, False, True)
     assert logits.shape == (2, 5) and z.shape == (2, 256)
+
+
+def test_torch_init_distribution():
+    """torch_init=True reproduces torch's default init distribution:
+    kernels AND biases ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (vs flax's
+    lecun_normal + zero bias).  Param counts/shapes are unchanged."""
+    import numpy as np
+
+    from ptbxl_tpu.models.factory import build_ecgcnn, build_multimodal
+
+    model, v = build_ecgcnn(num_labels=5, seed=0, torch_init=True)
+    w = np.asarray(v["params"]["blocks_0"]["conv"]["kernel"])  # [15, 12, 32]
+    bound = (15 * 12) ** -0.5
+    assert np.abs(w).max() <= bound
+    assert np.abs(w).max() > 0.9 * bound  # actually uniform, not truncated
+    # uniform std = bound/sqrt(3)
+    assert abs(w.std() - bound / np.sqrt(3)) < 0.15 * bound
+    b = np.asarray(v["params"]["blocks_0"]["conv"]["bias"])
+    assert np.abs(b).max() > 0 and np.abs(b).max() <= bound
+
+    hw = np.asarray(v["params"]["head"]["kernel"])  # [256, 5]
+    hbound = 256 ** -0.5
+    assert np.abs(hw).max() <= hbound
+
+    # default init unchanged: zero biases
+    _, v0 = build_ecgcnn(num_labels=5, seed=0)
+    assert np.all(np.asarray(v0["params"]["blocks_0"]["conv"]["bias"]) == 0)
+    # same tree structure either way
+    import jax
+
+    assert (jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v))
+
+    _, vm = build_multimodal(num_labels=5, seed=0, torch_init=True)
+    fw = np.asarray(vm["params"]["film_gen"]["kernel"])  # [64, 512]
+    assert np.abs(fw).max() <= 64 ** -0.5
+    d1 = np.asarray(vm["params"]["demo_encoder"]["fc1"]["kernel"])  # [5, 64]
+    assert np.abs(d1).max() <= 5 ** -0.5

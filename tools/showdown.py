@@ -160,8 +160,9 @@ def run_torch(cfg):
 
     from ptbxl_tpu.training.metrics import compute_metrics
 
-    torch.manual_seed(cfg["seed"])
-    np.random.seed(cfg["seed"])
+    train_seed = cfg.get("train_seed") or cfg["seed"]
+    torch.manual_seed(train_seed)
+    np.random.seed(train_seed)
 
     data = np.load(ensure_dataset(cfg))
     x_tr = zscore(data["x_train"])
@@ -184,7 +185,7 @@ def run_torch(cfg):
         m = compute_metrics(y, probs, threshold=0.5)
         return m, probs
 
-    rng = np.random.default_rng(cfg["seed"])
+    rng = np.random.default_rng(train_seed)
     bs = cfg["batch_size"]
     curves = []
     best = {"val_auprc": -1.0, "state": None, "epoch": -1}
@@ -281,13 +282,15 @@ def run_jax(cfg):
                 }
         return epoch
 
-    model, variables = build_ecgcnn(num_labels=5, seed=cfg["seed"])
+    train_seed = cfg.get("train_seed") or cfg["seed"]
+    model, variables = build_ecgcnn(num_labels=5, seed=train_seed,
+                                    torch_init=bool(cfg.get("jax_torch_init")))
     tx = make_optimizer(cfg["lr"], cfg["weight_decay"])
     state = create_train_state(model, variables, tx)
     train_step = make_train_step(model, tx, donate=False)
     eval_step = make_eval_step(model)
 
-    tr = epochs_of(x_tr, y_tr, True, cfg["seed"])
+    tr = epochs_of(x_tr, y_tr, True, train_seed)
     va = epochs_of(x_va, y_va, False, 0)
     te = epochs_of(x_te, y_te, False, 0)
 
@@ -330,7 +333,12 @@ def run_jax(cfg):
 # ---------------------------------------------------------------- compare
 
 def _tag(cfg):
-    return "_hard" if cfg.get("hard") else ""
+    tag = "_hard" if cfg.get("hard") else ""
+    if cfg.get("train_seed"):
+        tag += f"_ts{cfg['train_seed']}"
+    if cfg.get("jax_torch_init"):
+        tag += "_ti"
+    return tag
 
 
 def compare(budget=0.005, cfg=None):
@@ -368,11 +376,14 @@ def make_config(args):
     if args.quick:
         return {"n_train": 96, "n_val": 48, "n_test": 64, "T": 1250,
                 "seed": args.seed, "batch_size": 16, "epochs": 2,
-                "lr": 1.5e-3, "weight_decay": 1e-4, "hard": args.hard}
+                "lr": 1.5e-3, "weight_decay": 1e-4, "hard": args.hard,
+                "train_seed": args.train_seed,
+                "jax_torch_init": args.jax_torch_init}
     return {"n_train": args.n_train, "n_val": args.n_val, "n_test": args.n_test,
             "T": 5000, "seed": args.seed, "batch_size": 64,
             "epochs": args.epochs, "lr": 1.5e-3, "weight_decay": 1e-4,
-            "hard": args.hard}
+            "hard": args.hard, "train_seed": args.train_seed,
+            "jax_torch_init": args.jax_torch_init}
 
 
 def main():
@@ -383,6 +394,13 @@ def main():
                    help="low-SNR + 4%% label-noise variant (mid-range "
                         "AUROC plateau instead of saturation)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--jax_torch_init", action="store_true",
+                   help="initialize the JAX model with the reference's torch "
+                        "default init distribution (models torch_init=True)")
+    p.add_argument("--train_seed", type=int, default=None,
+                   help="model-init/shuffle seed (default: --seed); the "
+                        "dataset stays keyed by --seed so seed-variance "
+                        "probes train on identical data")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--n_train", type=int, default=1200)
     p.add_argument("--n_val", type=int, default=400)
