@@ -68,7 +68,12 @@ def _torch_model():
 
 
 @pytest.mark.slow
-def test_one_adamw_step_matches_torch(rng):
+def test_one_adamw_step_matches_torch():
+    # dedicated rng: with the shared session fixture, adding tests elsewhere
+    # shifts this test's data, and on unlucky draws a near-zero-gradient
+    # coordinate turns Adam's float noise into an O(lr) param delta (the
+    # documented conv-bias effect, but on a weight) — pin the data instead
+    rng = np.random.default_rng(20240817)
     # identical weights in both frameworks
     model, variables = build_ecgcnn(num_labels=LABELS, seed=0)
     state_dict = flax_to_torch_ecgcnn(jax.device_get(variables))
@@ -129,7 +134,8 @@ def test_one_adamw_step_matches_torch(rng):
 
 
 @pytest.mark.slow
-def test_fifty_step_trajectory_matches_torch(rng):
+def test_fifty_step_trajectory_matches_torch():
+    rng = np.random.default_rng(50_20240817)  # pinned: see one-step test
     """50 AdamW steps on fresh batches: the trajectories must stay locked.
 
     Pins what the one-step test cannot: AdamW moment accumulation, BN
