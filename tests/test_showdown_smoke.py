@@ -1,0 +1,63 @@
+"""Mechanical smoke test for the cross-framework showdown tool.
+
+The real showdown (full-size records, 14 epochs, both frameworks) runs via
+``python tools/showdown.py run`` and its results are recorded in
+docs/PARITY.md; this test only pins that the tool's phases run end-to-end
+on tiny sizes and produce the expected artifacts/report schema.
+"""
+
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_showdown():
+    spec = importlib.util.spec_from_file_location(
+        "showdown", os.path.join(HERE, "tools", "showdown.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dataset_generator_deterministic_and_labeled():
+    sd = _load_showdown()
+    x1, y1 = sd.make_split(8, seed=7, T=256)
+    x2, y2 = sd.make_split(8, seed=7, T=256)
+    np.testing.assert_array_equal(x1, x2)
+    assert x1.shape == (8, 12, 256) and y1.shape == (8, 5)
+    # NORM is the absence of the other four (PTB-XL-like semantics)
+    assert all((y[4] == 1.0) == (y[:4].sum() == 0) for y in y1)
+    # hard variant with label noise differs but stays deterministic
+    xh, yh = sd.make_split(8, seed=7, T=256, hard=True, label_flip=0.5)
+    xh2, yh2 = sd.make_split(8, seed=7, T=256, hard=True, label_flip=0.5)
+    np.testing.assert_array_equal(yh, yh2)
+    assert not np.array_equal(x1, xh)
+
+
+@pytest.mark.slow
+def test_showdown_phases_end_to_end(tmp_path, monkeypatch):
+    sd = _load_showdown()
+    monkeypatch.setattr(sd, "OUT_DIR", str(tmp_path))
+    cfg = {"n_train": 24, "n_val": 16, "n_test": 16, "T": 512, "seed": 0,
+           "batch_size": 8, "epochs": 1, "lr": 1.5e-3, "weight_decay": 1e-4}
+
+    sd.run_jax(cfg)
+    assert os.path.exists(tmp_path / "jax.json")
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    pytest.importorskip("torch")
+    sd.run_torch(cfg)
+
+    rc = sd.compare(budget=1.0, cfg=cfg)  # mechanics, not convergence
+    assert rc == 0
+    report = json.load(open(tmp_path / "report.json"))
+    for k in ("torch", "jax", "delta_auroc", "within_budget", "config"):
+        assert k in report

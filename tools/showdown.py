@@ -202,7 +202,7 @@ def run_torch(cfg):
             loss = F.binary_cross_entropy_with_logits(model(xb), yb)
             loss.backward()
             opt.step()
-            total += float(loss) * len(idx)  # dataset-weighted (loop.py:36-38)
+            total += float(loss.detach()) * len(idx)  # dataset-weighted (loop.py:36-38)
             n_done += len(idx)
         train_loss = total / n_done
         val_m, _ = eval_split(x_va, y_va, bs)
