@@ -593,12 +593,13 @@ def bench_train_phases(batch_size=256, iters=10, precision=None, dtype_name="bf1
             (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats,
                 x0 * (1.0 + c * 1e-30), batch["y"], batch["mask"])
-            # keep the DEEP backward live: the first conv kernel's gradient
-            # needs backprop through the whole stack (a head-bias grad would
-            # let XLA dead-code-eliminate the conv backward — measured: fwd
-            # and "fwd+bwd" timed identical before this fix)
-            g = grads["blocks_0"]["conv"]["kernel"]
-            return (loss + jnp.sum(g) * 1e-30).astype(jnp.float32), loss
+            # EVERY gradient leaf must stay live: keeping only the head bias
+            # let XLA drop the whole conv backward (measured fwd==fwdbwd),
+            # and keeping only conv0's kernel still dropped the OTHER
+            # layers' weight-gradient convs (~1/3 of backward FLOPs,
+            # measured as a phantom 49 ms "optimizer" phase at bs 4096)
+            g = sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(grads))
+            return (loss + g * 1e-30).astype(jnp.float32), loss
 
         _, losses = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return losses
@@ -943,17 +944,24 @@ def main():
                 robust_calibration_signals,
             )
 
-            ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
-            variables, _ = load_npz(ckpt)
+            here = os.path.dirname(os.path.abspath(__file__))
+            variables, _ = load_npz(
+                os.path.join(here, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz"))
             bat = make_battery()
             default = quant_accuracy_report(variables, "ecgcnn", signals=bat)
             robust = quant_accuracy_report(
                 variables, "ecgcnn", signals=bat,
                 calib_signals=robust_calibration_signals())
             robust["gate_ok"] = passes_battery_gate(robust)
-            return {"gate": BATTERY_GATE, "default_calib": default,
-                    "robust_calib": robust}
+            out = {"gate": BATTERY_GATE, "default_calib": default,
+                   "robust_calib": robust}
+            mm_ckpt = os.path.join(
+                here, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz")
+            if os.path.exists(mm_ckpt):
+                mm_vars, _ = load_npz(mm_ckpt)
+                out["multimodal_default_calib"] = quant_accuracy_report(
+                    mm_vars, "multimodal", signals=bat)
+            return out
 
         ib = _record("int8_battery", _int8_battery)
         if ib and "error" not in ib:

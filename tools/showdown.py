@@ -341,6 +341,23 @@ def _tag(cfg):
     return tag
 
 
+def _collect_seed_runs(framework, variant_base):
+    """All per-seed result files for one arm: {filename: test AUROC}.
+
+    Matches ``{framework}{base}.json`` and ``..._tsNN.json``; the
+    init-matched jax arm (``_ti``) is tracked separately in PARITY.md.
+    """
+    import re
+
+    pat = re.compile(rf"^{framework}{variant_base}(_ts\d+)?\.json$")
+    out = {}
+    for f in sorted(os.listdir(OUT_DIR)) if os.path.isdir(OUT_DIR) else []:
+        if pat.match(f):
+            with open(os.path.join(OUT_DIR, f)) as fh:
+                out[f] = json.load(fh)["test_auroc_macro"]
+    return out
+
+
 def compare(budget=0.005, cfg=None):
     tag = _tag(cfg or {})
     with open(os.path.join(OUT_DIR, f"torch{tag}.json")) as f:
@@ -362,13 +379,31 @@ def compare(budget=0.005, cfg=None):
         "within_budget": d_auroc <= budget,
         "config": t["config"],
     }
+
+    # Multi-seed aggregation: on noisy variants single-seed deltas measure
+    # seed variance, not framework quality (measured: torch's own 3-seed
+    # spread on --hard is 0.0134 > the 0.005 budget) — when several seeds
+    # exist per arm, the means comparison is the verdict.
+    base = "_hard" if (cfg or {}).get("hard") else ""
+    t_runs = _collect_seed_runs("torch", base)
+    j_runs = _collect_seed_runs("jax", base)
+    if len(t_runs) > 1 or len(j_runs) > 1:
+        t_mean = float(np.mean(list(t_runs.values())))
+        j_mean = float(np.mean(list(j_runs.values())))
+        report["seed_runs"] = {"torch": t_runs, "jax": j_runs}
+        report["mean_auroc"] = {"torch": t_mean, "jax": j_mean}
+        report["delta_auroc_means"] = abs(t_mean - j_mean)
+        report["within_budget"] = report["delta_auroc_means"] <= budget
+
     with open(os.path.join(OUT_DIR, f"report{tag}.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
+    shown = report.get("delta_auroc_means", d_auroc)
+    kind = "mean " if "delta_auroc_means" in report else ""
     if not report["within_budget"]:
-        print(f"[showdown] FAIL: |dAUROC| {d_auroc:.4f} > {budget}", flush=True)
+        print(f"[showdown] FAIL: {kind}|dAUROC| {shown:.4f} > {budget}", flush=True)
         return 1
-    print(f"[showdown] OK: |dAUROC| {d_auroc:.4f} <= {budget}", flush=True)
+    print(f"[showdown] OK: {kind}|dAUROC| {shown:.4f} <= {budget}", flush=True)
     return 0
 
 
