@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ptbxl_tpu.ops.relu_pool import relu_max_pool2
+
 # Numerical-parity note: this environment's default conv/dot precision reduces
 # inputs to bf16 (fast on the MXU but ~1e-3 relative error).  The parity path
 # uses "highest" (true f32); the perf path can relax to "default" (bf16 passes
@@ -70,11 +72,55 @@ def _dense_kwargs(torch_init: bool, fan_in: int):
     return {"kernel_init": torch_kernel_init, "bias_init": torch_bias_init(fan_in)}
 
 
+class PhaseableConv(nn.Module):
+    """Conv1d(k, SAME) with an optional phase-domain emission.
+
+    Parameters are named/shaped/initialized exactly like the ``nn.Conv`` it
+    replaces (``kernel`` [k, Cin, Cout], ``bias`` [Cout]) so checkpoints
+    are interchangeable; the standard call replicates flax's lowering
+    (promote dtype -> lax conv -> bias).  ``phase=True`` emits
+    [B, T//2, 2, Cout] via ops/phase_conv.py — the training path that
+    removes MaxPool's SelectAndScatter gradient.
+    """
+
+    features: int
+    kernel_size: int = 15
+    precision: Optional[str] = PARITY_PRECISION
+    dtype: Optional[jnp.dtype] = jnp.float32
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, phase: bool = False) -> jnp.ndarray:
+        from flax.linen.dtypes import promote_dtype
+
+        from ptbxl_tpu.ops.phase_conv import phase_conv
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, x.shape[-1], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if phase:
+            return phase_conv(x, kernel, bias, precision=self.precision)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding=[(k // 2, k // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"), precision=self.precision)
+        return y + bias.reshape((1, 1, -1))
+
+
 class ConvBlock(nn.Module):
     """Conv1d(k=15, SAME) -> BatchNorm -> ReLU -> MaxPool(2).
 
     Mirrors reference ecg_cnn.py:5-20.  Exposes ``conv_only``/``post`` so a
     caller can tap the pre-BN conv activation (the Grad-CAM target).
+
+    ``phase_train=True`` routes the train-mode forward through the
+    phase-domain form (ops/phase_conv.py): same math, but the maxpool
+    becomes an elementwise max over the phase axis — its VJP is a mask, not
+    SelectAndScatter.  Eval/inference always uses the standard path (the
+    golden-pinned graph); BN statistics are identical either way (the
+    phase view reduces over the same B*T elements when T is even).
     """
 
     features: int
@@ -84,6 +130,7 @@ class ConvBlock(nn.Module):
     dtype: Optional[jnp.dtype] = jnp.float32
     torch_init: bool = False
     in_features: Optional[int] = None  # required when torch_init (bias fan_in)
+    phase_train: bool = False
 
     def setup(self):
         k = self.kernel_size
@@ -92,10 +139,9 @@ class ConvBlock(nn.Module):
             if self.in_features is None:
                 raise ValueError("torch_init requires in_features (bias fan_in)")
             extra = _dense_kwargs(True, self.in_features * k)
-        self.conv = nn.Conv(
+        self.conv = PhaseableConv(
             self.features,
-            kernel_size=(k,),
-            padding=[(k // 2, k // 2)],
+            kernel_size=k,
             dtype=self.dtype,
             precision=self.precision,
             **extra,
@@ -108,10 +154,21 @@ class ConvBlock(nn.Module):
 
     def post(self, a: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = self.bn(a, use_running_average=not train)
+        if self.pool == 2:
+            # relu(pool(h)) == pool(relu(h)) (monotone); pool-first skips a
+            # full-size relu temp and halves the relu backward.  A Pallas
+            # pool VJP lives behind PTBXL_TPU_POOL_BWD=pallas (measured
+            # negative result — ops/relu_pool.py docstring).
+            return relu_max_pool2(h)
         h = nn.relu(h)
         return nn.max_pool(h, window_shape=(self.pool,), strides=(self.pool,), padding="VALID")
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if (train and self.phase_train and self.pool == 2
+                and x.shape[1] % 2 == 0):
+            h4 = self.conv(x, phase=True)                   # [B, U, 2, C]
+            h4 = self.bn(h4, use_running_average=False)     # same stats as [B,T,C]
+            return jnp.max(nn.relu(h4), axis=2)             # elementwise pool VJP
         return self.post(self.conv_only(x), train)
 
 
@@ -129,12 +186,21 @@ class ECGCNN(nn.Module):
     precision: Optional[str] = PARITY_PRECISION
     dtype: Optional[jnp.dtype] = jnp.float32
     torch_init: bool = False  # reference init distribution (torch_kernel_init)
+    # phase-domain train-mode forward (ops/phase_conv.py): removes maxpool's
+    # SelectAndScatter gradient; exact same math (see ConvBlock docstring).
+    # Default OFF: measured NET-SLOWER at bs 4096 bf16 (step 230 ms vs the
+    # standard path's 180 — the stride-2 conv's dgrad/wgrad lowerings and
+    # the phase-tail elementwise passes cost more than the pool VJP saves;
+    # docs/ARCHITECTURE.md "Training-step backward analysis").  Kept as an
+    # exact, GSPMD-safe, tested alternative for future toolchains.
+    phase_train: bool = False
 
     def setup(self):
         cins = [self.in_leads] + list(self.channels[:-1])
         self.blocks = [
             ConvBlock(c, precision=self.precision, dtype=self.dtype,
-                      torch_init=self.torch_init, in_features=cin)
+                      torch_init=self.torch_init, in_features=cin,
+                      phase_train=self.phase_train)
             for c, cin in zip(self.channels, cins)
         ]
         self.proj = nn.Dense(self.feat_dim, precision=self.precision, dtype=self.dtype,

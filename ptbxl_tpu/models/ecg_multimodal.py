@@ -31,12 +31,14 @@ class ECGBackbone(nn.Module):
     precision: Optional[str] = PARITY_PRECISION
     dtype: Optional[jnp.dtype] = jnp.float32
     torch_init: bool = False  # reference init distribution (ecg_cnn.py)
+    phase_train: bool = False  # phase-domain train forward (see ecg_cnn.py; default off — measured net-slower)
 
     def setup(self):
         cins = [self.in_leads] + list(self.channels[:-1])
         self.blocks = [
             ConvBlock(c, precision=self.precision, dtype=self.dtype,
-                      torch_init=self.torch_init, in_features=cin)
+                      torch_init=self.torch_init, in_features=cin,
+                      phase_train=self.phase_train)
             for c, cin in zip(self.channels, cins)
         ]
         self.proj = nn.Dense(self.feat_dim, precision=self.precision, dtype=self.dtype,
@@ -97,6 +99,7 @@ class ECGMultimodal(nn.Module):
     precision: Optional[str] = PARITY_PRECISION
     dtype: Optional[jnp.dtype] = jnp.float32
     torch_init: bool = False
+    phase_train: bool = False  # phase-domain train forward (see ecg_cnn.py; default off — measured net-slower)
 
     def setup(self):
         self.ecg_backbone = ECGBackbone(
@@ -106,6 +109,7 @@ class ECGMultimodal(nn.Module):
             precision=self.precision,
             dtype=self.dtype,
             torch_init=self.torch_init,
+            phase_train=self.phase_train,
         )
         # the fusion tail follows the model dtype like the backbone does —
         # a bf16-activation config must not silently run a mixed f32 tail

@@ -318,11 +318,17 @@ def export_serving_artifact(
     export_fn = jexport.export(
         jit_fn, platforms=tuple(platforms), disabled_checks=disabled_checks
     )
-    if arch == "multimodal":
-        d_spec = jax.ShapeDtypeStruct((b, 5), np.float32, sharding=sharding)
-        exported = export_fn(x_spec, d_spec)
-    else:
-        exported = export_fn(x_spec)
+    from ptbxl_tpu.ops.relu_pool import force_xla_pool_bwd
+
+    # trace under the plain XLA pool composite: the Pallas pool backward
+    # (ops/relu_pool.py) is a tpu-only custom call and must not leak into
+    # multi-platform artifacts (reachable via the with_cam vjp)
+    with force_xla_pool_bwd():
+        if arch == "multimodal":
+            d_spec = jax.ShapeDtypeStruct((b, 5), np.float32, sharding=sharding)
+            exported = export_fn(x_spec, d_spec)
+        else:
+            exported = export_fn(x_spec)
     blob = exported.serialize()
 
     meta = {
