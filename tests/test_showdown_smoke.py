@@ -61,3 +61,44 @@ def test_showdown_phases_end_to_end(tmp_path, monkeypatch):
     report = json.load(open(tmp_path / "report.json"))
     for k in ("torch", "jax", "delta_auroc", "within_budget", "config"):
         assert k in report
+
+
+def test_synth_demo_deterministic_and_correlated():
+    sd = _load_showdown()
+    rng = np.random.default_rng(0)
+    y = (rng.uniform(size=(400, 5)) < 0.4).astype(np.float32)
+    d1 = sd.synth_demo_split(y, seed=3)
+    d2 = sd.synth_demo_split(y, seed=3)
+    np.testing.assert_array_equal(d1, d2)
+    assert d1.shape == (400, 5)
+    # age correlates with HYP (the FiLM fusion has real signal to use)
+    hyp = y[:, 2].astype(bool)
+    assert d1[hyp, 0].mean() > d1[~hyp, 0].mean() + 0.05
+    # sex/pacemaker are binary
+    assert set(np.unique(d1[:, 1])) <= {0.0, 1.0}
+    assert set(np.unique(d1[:, 4])) <= {0.0, 1.0}
+
+
+def test_arch_labels_af_single_logit():
+    sd = _load_showdown()
+    y = np.arange(10, dtype=np.float32).reshape(2, 5)
+    ya = sd.arch_labels(y, "af")
+    assert ya.shape == (2, 1)
+    np.testing.assert_array_equal(ya[:, 0], y[:, 0])
+    assert sd.arch_labels(y, "baseline") is y
+
+
+@pytest.mark.slow
+def test_showdown_multimodal_phase_end_to_end(tmp_path, monkeypatch):
+    sd = _load_showdown()
+    monkeypatch.setattr(sd, "OUT_DIR", str(tmp_path))
+    cfg = {"n_train": 24, "n_val": 16, "n_test": 16, "T": 512, "seed": 0,
+           "batch_size": 8, "epochs": 1, "lr": 1.5e-3, "weight_decay": 1e-4,
+           "arch": "multimodal"}
+    sd.run_jax(cfg)
+    assert os.path.exists(tmp_path / "jax_mm.json")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    pytest.importorskip("torch")
+    sd.run_torch(cfg)
+    assert sd.compare(budget=1.0, cfg=cfg) == 0

@@ -147,6 +147,38 @@ def zscore(x):
     return (x - mean) / (std + 1e-6)
 
 
+def synth_demo_split(y, seed):
+    """Label-correlated synthetic demographics [age, sex, height, weight,
+    pacemaker] in the reference demo-vector convention (already-normalized
+    floats — reference: src/datasets/ptbxl_ecg_multimodal.py:106-164).
+
+    Derived DETERMINISTICALLY from the stored (post-label-noise) labels +
+    seed, so both frameworks consume bit-identical demographics without
+    regenerating the waveform dataset.  Correlations give the FiLM fusion
+    real signal: age/weight rise with HYP, sex skews with MI, pacemaker
+    with CD.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(y)
+    mi, sttc, hyp, cd = (y[:, i] for i in range(4))
+    age = 0.50 + 0.15 * hyp + 0.10 * cd + 0.08 * rng.standard_normal(n)
+    sex = (rng.uniform(size=n) < 0.5 + 0.25 * mi - 0.15 * sttc).astype(np.float32)
+    height = 0.85 - 0.03 * hyp + 0.05 * rng.standard_normal(n)
+    weight = 0.50 + 0.12 * hyp + 0.07 * rng.standard_normal(n)
+    pace = (rng.uniform(size=n) < 0.03 + 0.15 * cd).astype(np.float32)
+    return np.stack([age, sex, height, weight, pace], axis=1).astype(np.float32)
+
+
+def arch_labels(y, arch):
+    """baseline/multimodal: the 5 superclass labels; af: single-logit binary
+    using the MI morphology cue as the positive class (exercises the AF task
+    SHAPE — ECGCNN(num_labels=1), binary metrics — reference:
+    scripts/05_train_af_binary.py:121-124)."""
+    if arch == "af":
+        return y[:, :1].copy()
+    return y
+
+
 # ---------------------------------------------------------------- torch side
 
 def run_torch(cfg):
@@ -160,27 +192,41 @@ def run_torch(cfg):
 
     from ptbxl_tpu.training.metrics import compute_metrics
 
+    arch = cfg.get("arch", "baseline")
     train_seed = cfg.get("train_seed") or cfg["seed"]
     torch.manual_seed(train_seed)
     np.random.seed(train_seed)
 
     data = np.load(ensure_dataset(cfg))
     x_tr = zscore(data["x_train"])
-    y_tr = data["y_train"]
-    x_va, y_va = zscore(data["x_val"]), data["y_val"]
-    x_te, y_te = zscore(data["x_test"]), data["y_test"]
+    y_tr = arch_labels(data["y_train"], arch)
+    x_va, y_va = zscore(data["x_val"]), arch_labels(data["y_val"], arch)
+    x_te, y_te = zscore(data["x_test"]), arch_labels(data["y_test"], arch)
+    d_tr = d_va = d_te = None
+    if arch == "multimodal":
+        d_tr = synth_demo_split(data["y_train"], cfg["seed"] + 10)
+        d_va = synth_demo_split(data["y_val"], cfg["seed"] + 11)
+        d_te = synth_demo_split(data["y_test"], cfg["seed"] + 12)
 
-    model = ECGCNN(in_leads=12, feat_dim=256, num_labels=5)
+    if arch == "multimodal":
+        from src.models.ecg_multimodal import ECGMultimodal  # reference model
+
+        model = ECGMultimodal(num_labels=5, ecg_feat_dim=256,
+                              demo_hidden_dim=64, in_leads=12)
+    else:
+        model = ECGCNN(in_leads=12, feat_dim=256,
+                       num_labels=1 if arch == "af" else 5)
     opt = torch.optim.AdamW(model.parameters(), lr=cfg["lr"],
                             weight_decay=cfg["weight_decay"])
 
-    def eval_split(x, y, bs):
+    def eval_split(x, y, bs, d=None):
         model.eval()
         probs = []
         with torch.no_grad():
             for s in range(0, len(x), bs):
                 xb = torch.from_numpy(x[s:s + bs])
-                probs.append(torch.sigmoid(model(xb)).numpy())
+                args = (xb,) if d is None else (xb, torch.from_numpy(d[s:s + bs]))
+                probs.append(torch.sigmoid(model(*args)).numpy())
         probs = np.concatenate(probs)
         m = compute_metrics(y, probs, threshold=0.5)
         return m, probs
@@ -198,14 +244,15 @@ def run_torch(cfg):
             idx = order[s:s + bs]
             xb = torch.from_numpy(x_tr[idx])
             yb = torch.from_numpy(y_tr[idx])
+            args = (xb,) if d_tr is None else (xb, torch.from_numpy(d_tr[idx]))
             opt.zero_grad()
-            loss = F.binary_cross_entropy_with_logits(model(xb), yb)
+            loss = F.binary_cross_entropy_with_logits(model(*args), yb)
             loss.backward()
             opt.step()
             total += float(loss.detach()) * len(idx)  # dataset-weighted (loop.py:36-38)
             n_done += len(idx)
         train_loss = total / n_done
-        val_m, _ = eval_split(x_va, y_va, bs)
+        val_m, _ = eval_split(x_va, y_va, bs, d_va)
         curves.append({"epoch": epoch, "train_bce": train_loss,
                        "val_auroc": val_m["auroc_macro"],
                        "val_auprc": val_m["auprc_macro"]})
@@ -219,7 +266,7 @@ def run_torch(cfg):
                     "epoch": epoch}
 
     model.load_state_dict(best["state"])
-    test_m, _ = eval_split(x_te, y_te, bs)
+    test_m, _ = eval_split(x_te, y_te, bs, d_te)
     out = {
         "framework": "torch", "config": cfg, "curves": curves,
         "best_epoch": best["epoch"],
@@ -247,7 +294,7 @@ def run_jax(cfg):
 
     import jax
 
-    from ptbxl_tpu.models.factory import build_ecgcnn
+    from ptbxl_tpu.models.factory import build_ecgcnn, build_multimodal
     from ptbxl_tpu.training.loop import (
         eval_one_epoch,
         make_eval_step,
@@ -256,15 +303,22 @@ def run_jax(cfg):
     )
     from ptbxl_tpu.training.train_state import create_train_state, make_optimizer
 
+    arch = cfg.get("arch", "baseline")
     data = np.load(ensure_dataset(cfg))
     # raw signals: the framework z-scores on device (ops/preprocess.py)
-    x_tr, y_tr = data["x_train"], data["y_train"]
-    x_va, y_va = data["x_val"], data["y_val"]
-    x_te, y_te = data["x_test"], data["y_test"]
+    x_tr, y_tr = data["x_train"], arch_labels(data["y_train"], arch)
+    x_va, y_va = data["x_val"], arch_labels(data["y_val"], arch)
+    x_te, y_te = data["x_test"], arch_labels(data["y_test"], arch)
+    d_tr = d_va = d_te = None
+    multimodal = arch == "multimodal"
+    if multimodal:
+        d_tr = synth_demo_split(data["y_train"], cfg["seed"] + 10)
+        d_va = synth_demo_split(data["y_val"], cfg["seed"] + 11)
+        d_te = synth_demo_split(data["y_test"], cfg["seed"] + 12)
 
     bs = cfg["batch_size"]
 
-    def epochs_of(x, y, shuffle, seed):
+    def epochs_of(x, y, shuffle, seed, d=None):
         def epoch(e):
             n = len(x)
             order = np.arange(n)
@@ -275,24 +329,33 @@ def run_jax(cfg):
                 real = len(idx)
                 if real < bs:
                     idx = np.concatenate([idx, np.resize(order, bs - real)])
-                yield {
+                batch = {
                     "ecg": np.ascontiguousarray(x[idx].transpose(0, 2, 1)),
                     "y": y[idx],
                     "mask": (np.arange(bs) < real).astype(np.float32),
                 }
+                if d is not None:
+                    batch["demo"] = d[idx]
+                yield batch
         return epoch
 
     train_seed = cfg.get("train_seed") or cfg["seed"]
-    model, variables = build_ecgcnn(num_labels=5, seed=train_seed,
-                                    torch_init=bool(cfg.get("jax_torch_init")))
+    if multimodal:
+        model, variables = build_multimodal(
+            num_labels=5, seed=train_seed,
+            torch_init=bool(cfg.get("jax_torch_init")))
+    else:
+        model, variables = build_ecgcnn(
+            num_labels=1 if arch == "af" else 5, seed=train_seed,
+            torch_init=bool(cfg.get("jax_torch_init")))
     tx = make_optimizer(cfg["lr"], cfg["weight_decay"])
     state = create_train_state(model, variables, tx)
-    train_step = make_train_step(model, tx, donate=False)
-    eval_step = make_eval_step(model)
+    train_step = make_train_step(model, tx, multimodal=multimodal, donate=False)
+    eval_step = make_eval_step(model, multimodal=multimodal)
 
-    tr = epochs_of(x_tr, y_tr, True, train_seed)
-    va = epochs_of(x_va, y_va, False, 0)
-    te = epochs_of(x_te, y_te, False, 0)
+    tr = epochs_of(x_tr, y_tr, True, train_seed, d_tr)
+    va = epochs_of(x_va, y_va, False, 0, d_va)
+    te = epochs_of(x_te, y_te, False, 0, d_te)
 
     curves = []
     best = {"val_auprc": -1.0, "state": None, "epoch": -1}
@@ -332,8 +395,12 @@ def run_jax(cfg):
 
 # ---------------------------------------------------------------- compare
 
+_ARCH_TAG = {"baseline": "", "multimodal": "_mm", "af": "_af"}
+
+
 def _tag(cfg):
-    tag = "_hard" if cfg.get("hard") else ""
+    tag = _ARCH_TAG[cfg.get("arch", "baseline")]
+    tag += "_hard" if cfg.get("hard") else ""
     if cfg.get("train_seed"):
         tag += f"_ts{cfg['train_seed']}"
     if cfg.get("jax_torch_init"):
@@ -384,7 +451,8 @@ def compare(budget=0.005, cfg=None):
     # seed variance, not framework quality (measured: torch's own 3-seed
     # spread on --hard is 0.0134 > the 0.005 budget) — when several seeds
     # exist per arm, the means comparison is the verdict.
-    base = "_hard" if (cfg or {}).get("hard") else ""
+    c = cfg or {}
+    base = _ARCH_TAG[c.get("arch", "baseline")] + ("_hard" if c.get("hard") else "")
     t_runs = _collect_seed_runs("torch", base)
     j_runs = _collect_seed_runs("jax", base)
     if len(t_runs) > 1 or len(j_runs) > 1:
@@ -419,12 +487,13 @@ def make_config(args):
         return {"n_train": 96, "n_val": 48, "n_test": 64, "T": 1250,
                 "seed": args.seed, "batch_size": 16, "epochs": 2,
                 "lr": 1.5e-3, "weight_decay": 1e-4, "hard": args.hard,
-                "train_seed": args.train_seed,
+                "train_seed": args.train_seed, "arch": args.arch,
                 "jax_torch_init": args.jax_torch_init}
     return {"n_train": args.n_train, "n_val": args.n_val, "n_test": args.n_test,
             "T": 5000, "seed": args.seed, "batch_size": 64,
             "epochs": args.epochs, "lr": 1.5e-3, "weight_decay": 1e-4,
             "hard": args.hard, "train_seed": args.train_seed,
+            "arch": args.arch,
             "jax_torch_init": args.jax_torch_init}
 
 
@@ -436,6 +505,13 @@ def main():
                    help="low-SNR + 4%% label-noise variant (mid-range "
                         "AUROC plateau instead of saturation)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--arch", default="baseline",
+                   choices=["baseline", "multimodal", "af"],
+                   help="task/architecture: the 5-label ECG baseline "
+                        "(scripts/03 parity), the FiLM multimodal model with "
+                        "label-correlated synthetic demographics "
+                        "(scripts/04), or the single-logit binary task "
+                        "(scripts/05 shape, MI cue as positive class)")
     p.add_argument("--jax_torch_init", action="store_true",
                    help="initialize the JAX model with the reference's torch "
                         "default init distribution (models torch_init=True)")
