@@ -961,6 +961,13 @@ def main():
                 mm_vars, _ = load_npz(mm_ckpt)
                 out["multimodal_default_calib"] = quant_accuracy_report(
                     mm_vars, "multimodal", signals=bat)
+                # demo-pack calibration leaves the multimodal int8 path with
+                # max dprob ~0.47 on out-of-distribution battery inputs; the
+                # robust preset is the open-world deployment recommendation
+                # (mirrors the ecgcnn finding, ARCHITECTURE.md)
+                out["multimodal_robust_calib"] = quant_accuracy_report(
+                    mm_vars, "multimodal", signals=bat,
+                    calib_signals=robust_calibration_signals())
             return out
 
         ib = _record("int8_battery", _int8_battery)

@@ -31,7 +31,7 @@ handles its wgrad; this module is this framework's TPU-shaped equivalent).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

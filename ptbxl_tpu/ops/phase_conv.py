@@ -43,7 +43,7 @@ this module is the TPU-shaped equivalent of that training graph).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from jax import lax

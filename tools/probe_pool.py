@@ -19,7 +19,7 @@ import argparse
 import os
 import sys
 import time
-from functools import partial
+
 
 import numpy as np
 

@@ -443,9 +443,12 @@ def compare(budget=0.005, cfg=None):
         "delta_auroc": d_auroc,
         "delta_auprc": d_auprc,
         "budget": budget,
-        "within_budget": d_auroc <= budget,
+        # no-regression reading of the north star (BASELINE.md:48): a jax
+        # result ABOVE torch has not lost quality parity
+        "deficit_vs_torch": max(0.0, t["test_auroc_macro"] - j["test_auroc_macro"]),
         "config": t["config"],
     }
+    report["within_budget"] = report["deficit_vs_torch"] <= budget
 
     # Multi-seed aggregation: on noisy variants single-seed deltas measure
     # seed variance, not framework quality (measured: torch's own 3-seed
@@ -473,8 +476,8 @@ def compare(budget=0.005, cfg=None):
     with open(os.path.join(OUT_DIR, f"report{tag}.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
-    shown = report.get("deficit_vs_torch_means", d_auroc)
-    kind = "mean deficit " if "deficit_vs_torch_means" in report else ""
+    shown = report.get("deficit_vs_torch_means", report["deficit_vs_torch"])
+    kind = "mean deficit " if "deficit_vs_torch_means" in report else "deficit "
     if not report["within_budget"]:
         print(f"[showdown] FAIL: {kind}|dAUROC| {shown:.4f} > {budget}", flush=True)
         return 1
