@@ -102,3 +102,38 @@ def test_showdown_multimodal_phase_end_to_end(tmp_path, monkeypatch):
     pytest.importorskip("torch")
     sd.run_torch(cfg)
     assert sd.compare(budget=1.0, cfg=cfg) == 0
+
+
+def test_compare_deficit_gating(tmp_path, monkeypatch):
+    """The budget is a no-regression bound: jax ABOVE torch passes at any
+    gap; jax BELOW torch is gated at the budget (single-seed and means)."""
+    sd = _load_showdown()
+    monkeypatch.setattr(sd, "OUT_DIR", str(tmp_path))
+    cfg = {"n_train": 1, "n_val": 1, "n_test": 1, "T": 8, "seed": 0,
+           "batch_size": 1, "epochs": 1, "lr": 1e-3, "weight_decay": 0.0}
+
+    def write(name, auroc):
+        blob = {"framework": name.split("_")[0], "config": cfg,
+                "curves": [], "best_epoch": 0, "test_auroc_macro": auroc,
+                "test_auprc_macro": auroc, "test_f1_macro": auroc,
+                "wall_s": 1.0}
+        with open(tmp_path / f"{name}.json", "w") as f:
+            json.dump(blob, f)
+
+    # jax far ahead -> deficit 0 -> pass
+    write("torch", 0.80)
+    write("jax", 0.90)
+    assert sd.compare(budget=0.005, cfg=cfg) == 0
+    rep = json.load(open(tmp_path / "report.json"))
+    assert rep["deficit_vs_torch"] == 0.0 and rep["delta_auroc"] > 0.005
+
+    # jax behind beyond budget -> fail
+    write("jax", 0.79)
+    assert sd.compare(budget=0.005, cfg=cfg) == 1
+
+    # means mode: extra seeds pull the jax mean above torch -> pass
+    write("torch_ts43", 0.80)
+    write("jax_ts43", 0.84)
+    assert sd.compare(budget=0.005, cfg=cfg) == 0
+    rep = json.load(open(tmp_path / "report.json"))
+    assert rep["deficit_vs_torch_means"] == 0.0
