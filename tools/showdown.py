@@ -485,6 +485,40 @@ def compare(budget=0.005, cfg=None):
     return 0
 
 
+def summary():
+    """Print every recorded run grouped by arch/variant/arm (judge view)."""
+    import re
+
+    if not os.path.isdir(OUT_DIR):
+        print("[showdown] no artifacts")
+        return
+    pat = re.compile(
+        r"^(torch|jax)(_mm|_af)?(_hard)?(_ts\d+)?(_ti)?\.json$")
+    rows = {}
+    for f in sorted(os.listdir(OUT_DIR)):
+        m = pat.match(f)
+        if not m:
+            continue
+        fw, arch, hard, ts, ti = m.groups()
+        arch = {None: "baseline", "_mm": "multimodal", "_af": "af"}[arch]
+        variant = "hard" if hard else "standard"
+        arm = fw + (" (torch-init)" if ti else "")
+        with open(os.path.join(OUT_DIR, f)) as fh:
+            d = json.load(fh)
+        key = (arch, variant, arm)
+        rows.setdefault(key, []).append(
+            (d["test_auroc_macro"], d.get("backend", "cpu")))
+    for (arch, variant, arm), vals in sorted(rows.items()):
+        aurocs = [v[0] for v in vals]
+        backends = {v[1] for v in vals}
+        mean = float(np.mean(aurocs))
+        sd = float(np.std(aurocs, ddof=1)) if len(aurocs) > 1 else 0.0
+        print(f"{arch:10s} {variant:8s} {arm:18s} n={len(aurocs)} "
+              f"mean {mean:.4f} sd {sd:.4f}  "
+              f"[{', '.join(f'{a:.4f}' for a in sorted(aurocs))}] "
+              f"backends={sorted(backends)}")
+
+
 def make_config(args):
     if args.quick:
         return {"n_train": 96, "n_val": 48, "n_test": 64, "T": 1250,
@@ -502,7 +536,7 @@ def make_config(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("cmd", choices=["run", "gen", "torch", "jax", "compare"])
+    p.add_argument("cmd", choices=["run", "gen", "torch", "jax", "compare", "summary"])
     p.add_argument("--quick", action="store_true", help="smoke-sized")
     p.add_argument("--hard", action="store_true",
                    help="low-SNR + 4%% label-noise variant (mid-range "
@@ -530,6 +564,9 @@ def main():
     args = p.parse_args()
     cfg = make_config(args)
 
+    if args.cmd == "summary":
+        summary()
+        return
     if args.cmd == "gen":
         ensure_dataset(cfg)
     elif args.cmd == "torch":
