@@ -29,6 +29,58 @@ import numpy as np
 
 NORTH_STAR_RPS = 1000.0
 
+# ---------------------------------------------------------------------------
+# Analytic FLOPs model (round-3 verdict item 5): hardware-normalized MFU next
+# to every rec/s number, so "139x the north star" is anchored to the v5e
+# ceiling rather than the softness of the target.
+#
+# Per-record matmul FLOPs (2*K*Cin*Cout*T_out per conv; SAME padding, the
+# pool halves T between blocks; elementwise BN/ReLU/pool excluded per MFU
+# convention):
+#   L0 2*15*12*32*5000   = 57.6 MF     L1 2*15*32*64*2500  = 153.6 MF
+#   L2 2*15*64*128*1250  = 307.2 MF    L3 2*15*128*256*625 = 614.4 MF
+#   dense proj 2*256*256 + head 2*256*5 = 0.134 MF
+# Training = fwd + dgrad(L1..L3; the input gradient of L0 is dead) +
+# wgrad(L0..L3) ≈ 2.949x fwd.
+CONV_FLOPS_PER_REC = [57.6e6, 153.6e6, 307.2e6, 614.4e6]
+DENSE_FLOPS_PER_REC = 2 * 256 * 256 + 2 * 256 * 5
+FWD_FLOPS_PER_REC = sum(CONV_FLOPS_PER_REC) + DENSE_FLOPS_PER_REC  # ~1.133 GF
+TRAIN_FLOPS_PER_REC = (3 * sum(CONV_FLOPS_PER_REC) - CONV_FLOPS_PER_REC[0]
+                       + 3 * DENSE_FLOPS_PER_REC)  # ~3.341 GF
+
+# v5e ("TPU v5 lite") per-chip dense peaks.  f32 'highest' on this backend
+# lowers to 6-pass bf16 emulation (bf16_6x), hence peak/6 — an assumption,
+# flagged as such in the sidecar.
+V5E_PEAKS = {"bf16": 197e12, "int8": 394e12, "f32_highest": 197e12 / 6}
+
+
+def _inference_mfu(rps, path, dtype_name):
+    """(tflops, mfu_pct or None) for one inference-sweep row.
+
+    MFU = measured time vs the roofline time-bound Σ_layer flops/peak_dtype.
+    Pallas/hybrid rows report achieved TFLOP/s only (Mosaic's MXU issue mode
+    differs; ARCHITECTURE.md), as does anything on a non-v5e device.
+    """
+    tflops = rps * FWD_FLOPS_PER_REC / 1e12
+    if path == "xla_int8":
+        # default layer set (1, 3) int8, (0, 2) + dense bf16
+        int8_f = CONV_FLOPS_PER_REC[1] + CONV_FLOPS_PER_REC[3]
+        bf16_f = FWD_FLOPS_PER_REC - int8_f
+        bound = int8_f / V5E_PEAKS["int8"] + bf16_f / V5E_PEAKS["bf16"]
+    elif path == "xla" and dtype_name in ("bf16", "bf16_act"):
+        bound = FWD_FLOPS_PER_REC / V5E_PEAKS["bf16"]
+    elif path == "xla" and dtype_name == "f32":
+        bound = FWD_FLOPS_PER_REC / V5E_PEAKS["f32_highest"]
+    else:
+        return tflops, None
+    return tflops, 100.0 * rps * bound
+
+
+def _train_mfu(rps, dtype_name):
+    tflops = rps * TRAIN_FLOPS_PER_REC / 1e12
+    peak = V5E_PEAKS["f32_highest" if dtype_name == "f32" else "bf16"]
+    return tflops, 100.0 * rps * TRAIN_FLOPS_PER_REC / peak
+
 
 def jnp_dtype32():
     import jax.numpy as jnp
@@ -258,7 +310,13 @@ def bench_inference(full=False):
                 forward, variables = _build_int8()
             else:
                 forward, variables = _build(precision, dtype_name)
-            ok, worst = _parity_check(forward, variables, f32_forward, f32_vars)
+            # int8 ships the robust calibration (round-4 default): its
+            # accuracy instrument is the 519-signal battery (hard-gated in
+            # --full, quant_eval.BATTERY_GATE max 4e-2); demo-pack parity is
+            # reported but gated at the battery max, not the bf16 5e-3
+            tol = 4e-2 if path == "xla_int8" else 5e-3
+            ok, worst = _parity_check(forward, variables, f32_forward,
+                                      f32_vars, tol=tol)
         except Exception as e:
             if full:
                 print(f"# config {path}/{precision}/{dtype_name} failed: {e}", file=sys.stderr)
@@ -282,8 +340,11 @@ def bench_inference(full=False):
                     print(f"# config {path} prec={precision} dtype={dtype_name} bs={bs}: {e}",
                           file=sys.stderr)
                 continue
+            tflops, mfu = _inference_mfu(rps, path, dtype_name)
             row = dict(path=path, precision=str(precision), dtype=dtype_name,
-                       batch=bs, rps=rps, prob_err=worst, parity_ok=ok)
+                       batch=bs, rps=rps, prob_err=worst, parity_ok=ok,
+                       tflops=round(tflops, 1),
+                       mfu_pct=None if mfu is None else round(mfu, 1))
             results.append(row)
             if ok and (best is None or rps > best["rps"]):
                 best = row
@@ -704,11 +765,16 @@ def bench_host_scaling(n_records=2048, batch_size=256, threads=None):
     return {"cpu_count": ncpu, "rows": rows}
 
 
-def bench_pipeline_e2e(n_records=512, batch_size=256, epochs=1):
-    """End-to-end input pipeline: int16 memmap cache -> threaded prefetch ->
-    device conversion + z-score + forward.  Includes per-batch dispatch
-    latency (tunnel-dominated in this dev setup) — the honest serving number
-    for THIS environment; see bench_pipeline_stages for the decomposition."""
+def bench_pipeline_e2e(n_records=2048, batch_size=256, epochs=2):
+    """MEASURED sustained end-to-end epoch (round-3 verdict item 6): int16
+    memmap cache -> threaded batch assembly -> double-buffered H2D
+    (device_prefetch, depth 2) -> device convert + z-score + forward, timed
+    over full epochs with async dispatch (the device queue stays full; only
+    the final output materializes).  This is the honest e2e number — not
+    min(host, device).  Caveat: in this dev setup the H2D hop rides a
+    ~150 MB/s tunnel with ~50 ms/dispatch, so the sustained number here is
+    tunnel-bound; on a production host (PCIe/DMA) it converges toward
+    min(host_warm, device) — reported separately as e2e_roofline_rps."""
     import tempfile
 
     import jax
@@ -817,6 +883,161 @@ def bench_pipeline_stages(n_records=2048, batch_size=256):
     return out
 
 
+HEADLINE_METRIC = "ecg_inference_records_per_sec_per_chip"
+
+
+def _write_sidecar(suite, out_path):
+    try:
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(suite, f, indent=1)
+        os.replace(tmp, out_path)
+        print(f"# wrote {out_path}", file=sys.stderr)
+    except Exception as e:
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+
+
+def _preflight_chip():
+    """Best-effort check that no stale bench process still holds the chip.
+
+    The only process ever signalled is a PID this bench itself recorded in
+    its own pidfile AND whose /proc cmdline is a bench.py invocation — never
+    a pattern match over the process table.  Anything else holding an
+    accelerator fd is reported in the sidecar, not touched.
+    """
+    import signal
+    import tempfile
+
+    notes = []
+    pidfile = os.path.join(tempfile.gettempdir(), "ptbxl_tpu_bench.pid")
+    try:
+        if os.path.exists(pidfile):
+            with open(pidfile) as f:
+                old = int(f.read().strip() or 0)
+            cmdline_path = f"/proc/{old}/cmdline"
+            if old and old != os.getpid() and os.path.exists(cmdline_path):
+                with open(cmdline_path, "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+                if "bench.py" in cmd:
+                    notes.append(f"terminating stale bench pid {old}")
+                    try:
+                        os.kill(old, signal.SIGTERM)
+                        for _ in range(40):
+                            if not os.path.exists(cmdline_path):
+                                break
+                            time.sleep(0.25)
+                        else:
+                            os.kill(old, signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        pass
+                else:
+                    notes.append(f"pidfile pid {old} is not bench.py; left alone")
+        with open(pidfile, "w") as f:
+            f.write(str(os.getpid()))
+    except Exception as e:
+        notes.append(f"pidfile preflight skipped: {e}")
+    try:  # informational only: other holders of accelerator device fds
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                for fd in os.listdir(f"/proc/{pid}/fd"):
+                    tgt = os.readlink(f"/proc/{pid}/fd/{fd}")
+                    if "/dev/accel" in tgt or "/dev/vfio" in tgt:
+                        notes.append(f"pid {pid} holds {tgt} (not touched)")
+                        break
+            except OSError:
+                continue
+    except OSError:
+        pass
+    for n in notes:
+        print(f"# preflight: {n}", file=sys.stderr)
+    return notes
+
+
+def _probe_backend_subprocess(timeout_s):
+    """Bounded out-of-process probe of jax backend init.
+
+    A probe subprocess survives backend-init HANGS, not just errors — once
+    the main process enters the PJRT C++ init there is no way to interrupt
+    it, so the hang check must happen before in-process init.  Returns
+    ((backend, device_kind), None) on success or (None, reason) on failure.
+    """
+    import subprocess
+
+    code = ("import jax; d = jax.devices()[0]; "
+            "print(jax.default_backend(), getattr(d, 'device_kind', d), "
+            "sep='\\t')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"backend init probe hung (>{timeout_s:.0f}s)"
+    except Exception as e:  # subprocess machinery itself unavailable
+        return ("unknown", "unknown"), None  # fall through to direct init
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return None, (tail[-1] if tail else f"probe rc={r.returncode}")[:300]
+    out = r.stdout.strip().splitlines()
+    parts = out[-1].split("\t") if out else []
+    return (parts if len(parts) == 2 else ("unknown", "unknown")), None
+
+
+def _acquire_backend(retries=4, delay=3.0):
+    """Initialize the jax backend with bounded retries + backoff.
+
+    Round-3 lesson (BENCH_r03.json rc=1): one transient 'TPU backend
+    setup/compile error' at the first jax.devices() call crashed the whole
+    bench and the round recorded no perf number.  Each attempt first runs a
+    time-bounded subprocess probe (hang-proof), then initializes in-process;
+    failures retry with exponential backoff, clearing jax's cached failed
+    backend state between attempts.  The final failure propagates to
+    main()'s structured-error JSON path instead of a raw traceback.
+
+    Env overrides (used by the failure-path test): PTBXL_TPU_BENCH_RETRIES,
+    PTBXL_TPU_BENCH_RETRY_DELAY, PTBXL_TPU_BENCH_PROBE_TIMEOUT (seconds;
+    0 skips the subprocess probe), PTBXL_TPU_BENCH_INIT_BUDGET (total
+    seconds across all attempts — the bench must emit its error line well
+    before any driver-level kill timeout, so give up inside the budget).
+    """
+    import jax
+
+    retries = max(1, int(os.environ.get("PTBXL_TPU_BENCH_RETRIES", retries)))
+    delay = float(os.environ.get("PTBXL_TPU_BENCH_RETRY_DELAY", delay))
+    probe_timeout = float(os.environ.get("PTBXL_TPU_BENCH_PROBE_TIMEOUT", 300))
+    budget = float(os.environ.get("PTBXL_TPU_BENCH_INIT_BUDGET", 900))
+    t0 = time.monotonic()
+    last = None
+    for attempt in range(retries):
+        try:
+            if probe_timeout > 0:
+                remaining = budget - (time.monotonic() - t0)
+                probed, reason = _probe_backend_subprocess(
+                    min(probe_timeout, max(10.0, remaining)))
+                if probed is None:
+                    raise RuntimeError(reason)
+            backend = jax.default_backend()
+            dev = jax.devices()[0]
+            return backend, str(getattr(dev, "device_kind", dev)), attempt + 1
+        except Exception as e:
+            last = e
+            print(f"# backend init attempt {attempt + 1}/{retries} failed: {e}",
+                  file=sys.stderr)
+            try:
+                import jax.extend.backend as _eb
+
+                _eb.clear_backends()
+            except Exception:
+                pass
+            if time.monotonic() - t0 > budget:
+                print(f"# init budget ({budget:.0f}s) exhausted", file=sys.stderr)
+                break
+            if attempt + 1 < retries:
+                time.sleep(delay * (2 ** attempt))
+    raise RuntimeError(
+        f"jax backend unavailable after {retries} attempts: {last}") from last
+
+
 def main():
     from ptbxl_tpu.utils.platform import apply_platform_env
 
@@ -837,10 +1058,32 @@ def main():
 
     # every measurement lands here; written to --out at the end so each
     # README/docs headline claim has a regression-guarding artifact
-    suite = {"schema": "ptbxl_tpu_bench_v1", "mode": (
+    suite = {"schema": "ptbxl_tpu_bench_v2", "mode": (
         "host_scaling" if args.host_scaling else "full" if args.full else "headline"
     ), "unix_time": time.time()}
 
+    # The contract with the driver: this process ALWAYS prints exactly one
+    # parseable JSON line and exits 0, even when the device is unreachable.
+    try:
+        _run(args, suite)
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        headline = {
+            "metric": HEADLINE_METRIC,
+            "value": None,
+            "unit": "records/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }
+        suite["headline"] = headline
+        _write_sidecar(suite, args.out)
+        print(json.dumps(headline))
+        sys.exit(0)
+
+
+def _run(args, suite):
     def _record(key, fn, *a, **kw):
         try:
             suite[key] = fn(*a, **kw)
@@ -850,16 +1093,6 @@ def main():
             suite[key] = {"error": str(e)}
             return None
 
-    def _write_sidecar():
-        try:
-            tmp = args.out + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(suite, f, indent=1)
-            os.replace(tmp, args.out)
-            print(f"# wrote {args.out}", file=sys.stderr)
-        except Exception as e:
-            print(f"# sidecar write failed: {e}", file=sys.stderr)
-
     if args.host_scaling:
         hs = _record("host_scaling", bench_host_scaling)
         if hs:
@@ -868,26 +1101,35 @@ def main():
             for r in hs["rows"]:
                 print(f"#  threads={r['threads']:>2} decode {r['decode_rps']:>8.0f} rec/s"
                       f" | gather {r['gather_rps']:>8.0f} rec/s", file=sys.stderr)
-        _write_sidecar()
+        _write_sidecar(suite, args.out)
         return
 
-    import jax
+    suite["preflight"] = _preflight_chip()
+    backend, device, attempts = _acquire_backend()
+    suite["backend"] = backend
+    suite["device"] = device
+    suite["backend_attempts"] = attempts
+    suite["mfu_model"] = {
+        "fwd_flops_per_record": FWD_FLOPS_PER_REC,
+        "train_flops_per_record": TRAIN_FLOPS_PER_REC,
+        "peaks_assumed": {"device": "v5e (TPU v5 lite)", **V5E_PEAKS},
+        "note": "f32_highest peak assumes bf16_6x emulation; MFU counts "
+                "matmul FLOPs only (convs + dense), per convention",
+    }
 
-    suite["backend"] = jax.default_backend()
-    try:
-        suite["device"] = str(jax.devices()[0].device_kind)
-    except Exception:
-        pass
+    import jax  # noqa: F401  (backend now initialized)
 
     best, results = bench_inference(full=args.full)
     suite["inference"] = {"best": best, "rows": results}
 
     if args.full:
-        print("# config table", file=sys.stderr)
+        print("# config table (MFU vs v5e dense peaks: bf16 197 TF/s, "
+              "int8 394 TOP/s, f32 'highest' = bf16_6x peak/6)", file=sys.stderr)
         for r in results:
+            mfu = f" {r['mfu_pct']:.0f}% MFU" if r.get("mfu_pct") else ""
             print(f"#  {r['path']:>6} prec={r['precision']:>8} dtype={r['dtype']} "
                   f"bs={r['batch']:>5} -> {r['rps']:>10.1f} rec/s "
-                  f"(prob_err={r['prob_err']:.2e}, "
+                  f"({r['tflops']:.0f} TF/s{mfu}, prob_err={r['prob_err']:.2e}, "
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
         mm = _record("multimodal_bf16_rps", bench_multimodal)
         if mm is not None:
@@ -911,9 +1153,12 @@ def main():
             except Exception as e:
                 print(f"# train {dtype_name} bs={bs} failed: {e}", file=sys.stderr)
                 continue
-            suite["train"].append({"dtype": dtype_name, "batch": bs, "rps": r})
-            print(f"# train step (bs={bs}, {dtype_name}): {r:.1f} rec/s",
-                  file=sys.stderr)
+            tflops, mfu = _train_mfu(r, dtype_name)
+            suite["train"].append({"dtype": dtype_name, "batch": bs, "rps": r,
+                                   "tflops": round(tflops, 1),
+                                   "mfu_pct": round(mfu, 1)})
+            print(f"# train step (bs={bs}, {dtype_name}): {r:.1f} rec/s "
+                  f"({tflops:.0f} TF/s, {mfu:.0f}% MFU)", file=sys.stderr)
 
         # per-phase decomposition of the training step (VERDICT r2 item 4)
         suite["train_phases"] = []
@@ -924,24 +1169,32 @@ def main():
                 print(f"# train phases bs={bs} failed: {e}", file=sys.stderr)
                 continue
             if ph:
+                ph["fwd_mfu_pct"] = round(
+                    100.0 * ph["fwd_rps"] * FWD_FLOPS_PER_REC / V5E_PEAKS["bf16"], 1)
+                ph["fwdbwd_mfu_pct"] = round(
+                    100.0 * ph["fwdbwd_rps"] * TRAIN_FLOPS_PER_REC / V5E_PEAKS["bf16"], 1)
                 suite["train_phases"].append(ph)
                 print(f"# train phases (bs={bs}, bf16): "
-                      f"fwd {ph['fwd_rps']:.0f} rec/s ({ph['fwd_ms']:.1f} ms) | "
-                      f"+bwd {ph['fwdbwd_rps']:.0f} ({ph['bwd_ms']:.1f} ms) | "
+                      f"fwd {ph['fwd_rps']:.0f} rec/s ({ph['fwd_ms']:.1f} ms, "
+                      f"{ph['fwd_mfu_pct']:.0f}% MFU) | "
+                      f"+bwd {ph['fwdbwd_rps']:.0f} ({ph['bwd_ms']:.1f} ms, "
+                      f"{ph['fwdbwd_mfu_pct']:.0f}% MFU) | "
                       f"full {ph['step_rps']:.0f} "
                       f"(optimizer {ph['optimizer_ms']:.1f} ms)", file=sys.stderr)
 
         # int8 distributional battery (ops/quant_eval.py): error quantiles +
-        # decision-flip rate for the shipped default (demo-pack calibration)
-        # and the robust preset; the robust preset is hard-gated
+        # decision-flip rate.  Since round 4 the DEFAULT calibration is the
+        # robust preset, so default_calib is the hard-gated row; demo_calib
+        # records the old demo-pack calibration's out-of-distribution tail
+        # for the tradeoff ledger (ARCHITECTURE.md "int8 accuracy")
         def _int8_battery():
             from ptbxl_tpu.models.params_io import load_npz
+            from ptbxl_tpu.ops.quant import demo_pack_signals
             from ptbxl_tpu.ops.quant_eval import (
                 BATTERY_GATE,
                 make_battery,
                 passes_battery_gate,
                 quant_accuracy_report,
-                robust_calibration_signals,
             )
 
             here = os.path.dirname(os.path.abspath(__file__))
@@ -949,49 +1202,51 @@ def main():
                 os.path.join(here, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz"))
             bat = make_battery()
             default = quant_accuracy_report(variables, "ecgcnn", signals=bat)
-            robust = quant_accuracy_report(
-                variables, "ecgcnn", signals=bat,
-                calib_signals=robust_calibration_signals())
-            robust["gate_ok"] = passes_battery_gate(robust)
+            default["gate_ok"] = passes_battery_gate(default)
+            demo = quant_accuracy_report(variables, "ecgcnn", signals=bat,
+                                         calib_signals=demo_pack_signals())
             out = {"gate": BATTERY_GATE, "default_calib": default,
-                   "robust_calib": robust}
+                   "demo_calib": demo}
             mm_ckpt = os.path.join(
                 here, "outputs/ecg_multimodal/ckpts/ecg_multimodal_best.npz")
             if os.path.exists(mm_ckpt):
                 mm_vars, _ = load_npz(mm_ckpt)
-                out["multimodal_default_calib"] = quant_accuracy_report(
-                    mm_vars, "multimodal", signals=bat)
-                # demo-pack calibration leaves the multimodal int8 path with
-                # max dprob ~0.47 on out-of-distribution battery inputs; the
-                # robust preset is the open-world deployment recommendation
-                # (mirrors the ecgcnn finding, ARCHITECTURE.md)
-                out["multimodal_robust_calib"] = quant_accuracy_report(
+                mm_default = quant_accuracy_report(mm_vars, "multimodal",
+                                                   signals=bat)
+                mm_default["gate_ok"] = passes_battery_gate(mm_default)
+                out["multimodal_default_calib"] = mm_default
+                # demo-pack calibration left the multimodal int8 path at max
+                # dprob ~0.47 on out-of-distribution battery inputs — the
+                # finding that motivated the round-4 default flip
+                out["multimodal_demo_calib"] = quant_accuracy_report(
                     mm_vars, "multimodal", signals=bat,
-                    calib_signals=robust_calibration_signals())
+                    calib_signals=demo_pack_signals())
             return out
 
         ib = _record("int8_battery", _int8_battery)
         if ib and "error" not in ib:
-            d, r = ib["default_calib"], ib["robust_calib"]
-            print(f"# int8 battery ({d['n']} signals): default calib "
-                  f"max {d['max']:.2e} p99 {d['p99']:.2e} flips {d['flips']} | "
-                  f"robust calib max {r['max']:.2e} p99 {r['p99']:.2e} "
-                  f"flips {r['flips']} "
-                  f"[{'ok' if r['gate_ok'] else 'GATE FAIL'}]", file=sys.stderr)
+            d, o = ib["default_calib"], ib["demo_calib"]
+            print(f"# int8 battery ({d['n']} signals): DEFAULT (robust) calib "
+                  f"max {d['max']:.2e} p99 {d['p99']:.2e} flips {d['flips']} "
+                  f"[{'ok' if d['gate_ok'] else 'GATE FAIL'}] | demo calib "
+                  f"max {o['max']:.2e} p99 {o['p99']:.2e} flips {o['flips']}",
+                  file=sys.stderr)
 
         stages = _record("pipeline_stages", bench_pipeline_stages)
         if stages and "error" not in stages:
             device_rps = best["rps"] if best else float("nan")
-            proj = min(stages["host_warm"], device_rps)
-            suite["projected_e2e_rps"] = proj
+            roofline = min(stages["host_warm"], device_rps)
+            # explicit ROOFLINE label (an upper bound from per-stage rates,
+            # not a measurement — the measured number is sustained_e2e_rps)
+            suite["e2e_roofline_rps"] = roofline
             print("# input pipeline stages (rec/s): "
                   f"host_cold {stages['host_cold']:.0f} | "
                   f"host_warm {stages['host_warm']:.0f} | "
                   f"host_nocache {stages['host_nocache']:.0f} | "
                   f"h2d {stages['h2d']:.0f} ({stages['h2d_MBps']:.0f} MB/s, tunnel-bound here) | "
                   f"device {device_rps:.0f}", file=sys.stderr)
-            print(f"# projected production e2e = min(host_warm, device) = {proj:.0f} rec/s",
-                  file=sys.stderr)
+            print(f"# e2e roofline = min(host_warm, device) = {roofline:.0f} rec/s "
+                  "(upper bound, not a measurement)", file=sys.stderr)
 
         hs = _record("host_scaling", bench_host_scaling)
         if hs and "error" not in hs:
@@ -1001,13 +1256,12 @@ def main():
                 print(f"#  threads={r['threads']:>2} decode {r['decode_rps']:>8.0f} rec/s"
                       f" | gather {r['gather_rps']:>8.0f} rec/s", file=sys.stderr)
 
-        # NOTE: in this dev setup the tunnel caps H2D at ~150 MB/s with
-        # ~50 ms per dispatch, so this number measures the tunnel, not
-        # the input pipeline; tracked for regressions only.
-        e2e = _record("pipeline_e2e_tunnel_rps", bench_pipeline_e2e)
-        if e2e is not None:
-            print(f"# e2e pipeline (memmap->prefetch->device, tunnel-bound): "
-                  f"{e2e:.1f} rec/s", file=sys.stderr)
+        # the MEASURED sustained e2e epoch (decode -> batch -> H2D double-
+        # buffered -> device forward); tunnel H2D caveat in the fn docstring
+        e2e = _record("sustained_e2e_rps", bench_pipeline_e2e)
+        if e2e is not None and not isinstance(e2e, dict):
+            print(f"# sustained e2e epoch (memmap->prefetch->device, measured; "
+                  f"H2D tunnel-bound in this env): {e2e:.1f} rec/s", file=sys.stderr)
         lat = _record("demo_latency", bench_demo_latency)
         if lat is not None and not isinstance(lat, dict):
             p50, onchip, onchip5 = lat
@@ -1022,12 +1276,14 @@ def main():
 
     value = best["rps"] if best else 0.0
     suite["headline"] = {
-        "metric": "ecg_inference_records_per_sec_per_chip",
+        "metric": HEADLINE_METRIC,
         "value": round(value, 1),
         "unit": "records/s",
         "vs_baseline": round(value / NORTH_STAR_RPS, 3),
+        "tflops": best.get("tflops") if best else None,
+        "mfu_pct": best.get("mfu_pct") if best else None,
     }
-    _write_sidecar()
+    _write_sidecar(suite, args.out)
     print(json.dumps(suite["headline"]))
 
 

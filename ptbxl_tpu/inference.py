@@ -72,9 +72,11 @@ class Predictor:
 
         ``precision='int8'`` additionally PTQ-quantizes conv layers to int8
         (BN folded, per-channel scales; see ops/quant.py) — ~1.45x the bf16
-        path on v5e at large chunk sizes, max demo-pack prob delta ~3.2e-3
-        with the default layer set.  ``calib_signals`` (raw [N,12,T] or
-        [N,T,12]) override the bundled demo-pack calibration set;
+        path on v5e at large chunk sizes.  Calibration defaults to the
+        ROBUST preset (battery-gated out-of-distribution, quant_eval;
+        demo-pack prob delta ~1.6e-2); ``calib_signals`` (raw [N,12,T] or
+        [N,T,12]) override it — e.g. quant.demo_pack_signals() tightens
+        demo parity to ~3.2e-3 for strictly PTB-XL-like traffic;
         ``int8_layers`` overrides which conv layers are quantized (default:
         the per-arch measured winner — (1,3) for ecgcnn/AF, (3,) for
         multimodal).  ``qparams`` (a

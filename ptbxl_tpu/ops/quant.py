@@ -25,9 +25,15 @@ Design (tools/proto_int8.py sweep + the v5e layer-set sweep below):
   commutes with the monotone round/clip — byte-identical), so it fuses
   into the conv epilogue and the pool moves int8, not bf16.
 
-Accuracy (demo-pack oracle vs the f32 parity path): the (1,3) default sits
-at max|dprob| ~3.2e-3, inside the bench.py <=5e-3 gate.  Deeper sets breach
-the gate and are not used.
+Accuracy: the binding constraint is CALIBRATION COVERAGE, not the layer set
+(round-3 battery finding).  The shipping default calibrates on the robust
+synthetic preset (quant_eval.robust_calibration_signals — battery max
+|dprob| ~0.030, gate-passing) and sits at ~1.6e-2 vs the f32 parity path on
+the in-distribution demo pack (multimodal ~7e-3, AF ~1.9e-3).  Calibrating
+on the demo pack instead tightens demo parity to ~3.2e-3 but fails the
+battery out-of-distribution (max ~0.17) — available via
+``calib_signals=demo_pack_signals()`` for strictly PTB-XL-like traffic.
+Deeper layer sets breach the gates and are not used.
 
 The reference has no quantization story at all (pure f32 torch inference,
 /root/reference/scripts/06_ecg_baseline_test.py:94-106); this is a
@@ -251,8 +257,9 @@ def make_quantized_forward(
     return fwd
 
 
-def default_calib_signals(n: Optional[int] = None) -> np.ndarray:
-    """Bundled demo-pack ECGs as the default calibration set: [N, T, 12]."""
+def demo_pack_signals(n: Optional[int] = None) -> np.ndarray:
+    """Bundled demo-pack ECGs, [N, T, 12] — the *parity oracle*, not the
+    default calibration set (see :func:`default_calib_signals`)."""
     import glob
     import os
 
@@ -264,6 +271,25 @@ def default_calib_signals(n: Optional[int] = None) -> np.ndarray:
         )
     ecgs = [np.load(f, allow_pickle=True)["ecg"].T for f in files[: n or len(files)]]
     return np.stack(ecgs).astype(np.float32)
+
+
+def default_calib_signals() -> np.ndarray:
+    """Default int8 calibration set: the ROBUST preset, [N, T, 12].
+
+    Round-3 finding (ops/quant_eval.py battery, 519 signals): calibrating on
+    the 7-record demo pack alone leaves out-of-distribution inputs with
+    max |dprob| ~0.17 (decision flips deep past the 0.5 threshold the
+    reference evaluates at, /root/reference/scripts/06_ecg_baseline_test.py:32),
+    while the diverse synthetic preset bounds the whole battery at ~0.03 with
+    only threshold-adjacent flips.  Calibration coverage — not the layer set —
+    is the binding accuracy constraint, so the gate-passing robust preset IS
+    the default; the demo pack remains available as the in-distribution
+    parity oracle via :func:`demo_pack_signals` / ``calib_signals=...``.
+    """
+    from ptbxl_tpu.ops.quant_eval import robust_calibration_signals
+
+    return np.ascontiguousarray(
+        robust_calibration_signals().transpose(0, 2, 1))  # [N,12,T]->[N,T,12]
 
 
 def _bias_correct_inplace(
@@ -317,7 +343,10 @@ def quantize_model(
     """One-call PTQ: fold BN, calibrate, quantize. Returns the q-param dict.
 
     ``calib_signals``: raw [N, 12, T] or [N, T, 12] signals; defaults to the
-    bundled demo pack.  They are z-scored iff the serving path normalizes.
+    robust synthetic preset (:func:`default_calib_signals` — the battery
+    -gate-passing choice; pass :func:`demo_pack_signals` for the old
+    in-distribution-only calibration).  They are z-scored iff the serving
+    path normalizes.
     ``int8_layers`` defaults to the per-arch measured winner.
     ``bias_correct`` folds the calibration-set mean quantization error into
     the conv biases (see :func:`_bias_correct_inplace`).

@@ -69,9 +69,9 @@ def make_battery(n: int = 512, T: int = 5000, fs: float = 500.0,
 
     if include_demo_pack:
         try:
-            from ptbxl_tpu.ops.quant import default_calib_signals
+            from ptbxl_tpu.ops.quant import demo_pack_signals
 
-            demo = default_calib_signals()  # [7, T, 12]
+            demo = demo_pack_signals()  # [7, T, 12]
             if demo.shape[1] == T:
                 out = np.concatenate([out, demo.transpose(0, 2, 1)], axis=0)
         except (FileNotFoundError, OSError):
@@ -102,8 +102,11 @@ def robust_calibration_signals(n: int = 64, T: int = 5000,
     and reach max|dprob| ~0.15 with decision flips; calibrating on this set
     instead bounds the WHOLE battery at max ~0.022 / zero flips, at the cost
     of in-distribution error rising to ~0.016 (coarser quantization steps).
-    Pick per deployment: demo calibration for PTB-XL-like traffic, this for
-    open-world traffic.  (Full table: docs/ARCHITECTURE.md "int8 accuracy".)
+    Since round 4 this preset IS the shipping default
+    (ops/quant.default_calib_signals); demo-pack calibration remains
+    available for strictly PTB-XL-like traffic via
+    ``calib_signals=demo_pack_signals()``.  (Full table:
+    docs/ARCHITECTURE.md "int8 accuracy".)
     """
     return make_battery(n=n, T=T, seed=seed, include_demo_pack=True)
 
@@ -155,7 +158,8 @@ def quant_accuracy_report(
 
     if int8_layers is None:
         int8_layers = default_int8_layers(arch)
-    if signals is None:
+    default_battery = signals is None
+    if default_battery:
         signals = make_battery()
     x = np.asarray(signals, np.float32)
     if x.shape[1] != 12 and x.shape[2] == 12:
@@ -222,7 +226,7 @@ def quant_accuracy_report(
         # flip reached (bounded by `max` by construction)
         "flip_margin": float(flip_margin),
     }
-    if signals is None:  # default battery: attach the subset breakdown
+    if default_battery:  # default battery: attach the subset breakdown
         per_rec = e.reshape(n, -1).max(axis=1)
         art = battery_artifact_mask(512, total=n)
         demo_rows = np.zeros(n, bool)

@@ -18,9 +18,13 @@ keeps the fast fused forward AND a memory-bound backward is a custom VJP:
 
 Tie semantics: a window whose two ReLU outputs BOTH equal the max splits
 the cotangent evenly (cnt=2) where torch's maxpool routes it to the first
-element.  Post-ReLU the only realizable ties are exact zeros, whose
-cotangents die one op downstream in the ReLU mask (h<=0), so training
-trajectories match torch (pinned by tests/test_train_parity_torch.py).
+element.  Ties at exactly zero die one op downstream in the ReLU mask
+(h<=0); ties at equal POSITIVE values (realizable with clipped/saturated
+or duplicated samples) do diverge from torch, but are measure-zero for
+continuous inputs — training trajectories match torch in practice (pinned
+by tests/test_train_parity_torch.py).  This path is opt-in
+(PTBXL_TPU_POOL_BWD=pallas); the default XLA backward matches torch
+exactly.
 
 OUTCOME (measured, full model, bs 2048/4096 bf16 on v5e): NEGATIVE — the
 kernel is correct and in isolation the backward math is memory-bound, but

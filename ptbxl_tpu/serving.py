@@ -47,10 +47,10 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
     from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
 
     if precision == "int8":
-        # PTQ path (ops/quant.py): deep conv int8, BN folded, calibrated on
-        # the bundled demo pack at export time (or per the overrides); int8
-        # weights and scales are baked into the StableHLO module like any
-        # other constant.
+        # PTQ path (ops/quant.py): deep conv int8, BN folded, calibrated at
+        # export time on the robust preset (the round-4 battery-gated
+        # default; override via calib_signals/qparams); int8 weights and
+        # scales are baked into the StableHLO module like any other constant.
         from ptbxl_tpu.ops.quant import (
             load_qparams,
             make_quantized_forward,
@@ -196,9 +196,10 @@ def export_serving_artifact(
 
     ``precision='int8'`` accepts the same tuning knobs as the Predictor:
     ``int8_layers`` (which conv layers quantize), ``calib_signals`` (raw
-    [N,12,T]/[N,T,12] calibration set; default bundled demo pack), or
-    ``qparams`` (a quantize_model() dict / save_qparams() path, skipping
-    fold+calibrate entirely).
+    [N,12,T]/[N,T,12] calibration set; default: the robust battery-gated
+    preset, ops/quant.default_calib_signals), or ``qparams`` (a
+    quantize_model() dict / save_qparams() path, skipping fold+calibrate
+    entirely).
 
     ``engine='pallas'`` exports the fused single-kernel forward — the
     latency-regime winner (~5x XLA below batch ~512, one launch,

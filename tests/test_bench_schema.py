@@ -1,0 +1,94 @@
+"""Schema regression test for the committed bench_results.json sidecar.
+
+Round-3 verdict item 8: sidecar regressions should fail loudly.  The sidecar
+is regenerated on the real TPU (`python bench.py --full`), so this test
+validates whatever is committed: v1 (round-3) gets the legacy checks, v2
+(round-4+, MFU columns / robust-int8 default / sustained e2e) gets the full
+contract — including that the SHIPPING int8 default passes the battery gate.
+"""
+
+import json
+import os
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SIDE = os.path.join(HERE, "bench_results.json")
+
+
+@pytest.fixture(scope="module")
+def suite():
+    if not os.path.exists(SIDE):
+        pytest.skip("no committed bench_results.json")
+    with open(SIDE) as f:
+        return json.load(f)
+
+
+def test_headline_contract(suite):
+    h = suite["headline"]
+    assert h["metric"] == "ecg_inference_records_per_sec_per_chip"
+    assert h["unit"] == "records/s"
+    assert isinstance(h["value"], (int, float)) and h["value"] > 0
+    assert h["vs_baseline"] > 1.0  # north star is 1000 rec/s
+
+
+def test_inference_rows(suite):
+    rows = suite["inference"]["rows"]
+    assert rows and all({"path", "dtype", "batch", "rps", "prob_err",
+                         "parity_ok"} <= set(r) for r in rows)
+    best = suite["inference"]["best"]
+    assert best["parity_ok"] is True
+    assert best["rps"] == max(r["rps"] for r in rows if r["parity_ok"])
+    if suite.get("schema") == "ptbxl_tpu_bench_v2":
+        assert all("tflops" in r and "mfu_pct" in r for r in rows)
+        xla_rows = [r for r in rows
+                    if r["path"] in ("xla", "xla_int8") and r["dtype"] != "f32"]
+        assert xla_rows and all(0 < r["mfu_pct"] <= 100 for r in xla_rows)
+
+
+def test_train_rows(suite):
+    if suite.get("mode") != "full":
+        pytest.skip("headline-mode sidecar")
+    rows = suite["train"]
+    assert rows and all(r["rps"] > 0 for r in rows)
+    if suite.get("schema") == "ptbxl_tpu_bench_v2":
+        assert all(0 < r["mfu_pct"] <= 100 for r in rows)
+
+
+def test_int8_battery_gate(suite):
+    if suite.get("mode") != "full":
+        pytest.skip("headline-mode sidecar")
+    ib = suite["int8_battery"]
+    assert "error" not in ib
+    gate = ib["gate"]
+    if suite.get("schema") == "ptbxl_tpu_bench_v2":
+        # the SHIPPING default must pass the gate (round-3 verdict item 2)
+        d = ib["default_calib"]
+        assert d["gate_ok"] is True
+        assert d["max"] <= gate["max"] and d["p99"] <= gate["p99"]
+        assert ib["multimodal_default_calib"]["gate_ok"] is True
+        # and the demo-pack calibration's OOD tail stays documented
+        assert ib["demo_calib"]["max"] > gate["max"]
+    else:  # round-3 v1 layout: the robust preset passed, demo default did not
+        assert ib["robust_calib"]["gate_ok"] is True
+
+
+def test_e2e_keys(suite):
+    if suite.get("mode") != "full":
+        pytest.skip("headline-mode sidecar")
+    if suite.get("schema") == "ptbxl_tpu_bench_v2":
+        assert suite["sustained_e2e_rps"] > 0
+        expected = min(suite["pipeline_stages"]["host_warm"],
+                       suite["inference"]["best"]["rps"])
+        assert suite["e2e_roofline_rps"] == pytest.approx(expected)
+        assert "mfu_model" in suite
+    else:
+        assert suite["projected_e2e_rps"] > 0
+
+
+def test_demo_latency_leads_with_onchip(suite):
+    if suite.get("mode") != "full":
+        pytest.skip("headline-mode sidecar")
+    lat = suite["demo_latency"]
+    assert lat["onchip_ms"] < 5.0  # the production latency figure
+    assert lat["onchip_all5_ms"] >= lat["onchip_ms"]

@@ -2,8 +2,12 @@
 
 The reference has no quantization capability (pure f32 torch inference,
 /root/reference/scripts/06_ecg_baseline_test.py:94-106); this is a
-framework-level addition, quality-gated against the f32 parity path on the
-bundled demo pack exactly like the bf16 serving path (bench.py <=5e-3).
+framework-level addition.  Since round 4 the default calibration is the
+ROBUST preset (battery-gated, quant_eval.BATTERY_GATE max 4e-2 — the gate
+the shipping configuration must pass); demo-pack calibration remains the
+in-distribution parity oracle at the old <=5e-3 and is pinned separately.
+Measured demo-pack parity under the robust default (CPU==TPU numerics):
+ecgcnn 1.6e-2, multimodal 7.0e-3, AF 1.9e-3.
 """
 
 import glob
@@ -81,18 +85,28 @@ def test_calibration_per_channel_shapes(rng):
 
 
 def test_default_calib_signals_shape():
+    # the default is the robust preset: 64 synthetic + 7 demo-pack records
     x = default_calib_signals()
     assert x.ndim == 3 and x.shape[1:] == (5000, 12) and x.dtype == np.float32
+    assert x.shape[0] >= 64
 
 
 def test_int8_predictor_baseline_gate():
-    """precision='int8' stays within the bench parity gate on the demo pack."""
+    """Default (robust-calibrated) int8 stays within the battery gate on the
+    demo pack; explicit demo-pack calibration keeps the tight 5e-3 oracle."""
+    from ptbxl_tpu.ops.quant import demo_pack_signals
+
     sigs = _demo_sigs()
     p_hi = Predictor.from_checkpoint(CKPT, engine="xla")
     p_q = Predictor.from_checkpoint(CKPT, precision="int8")
     assert p_q.engine == "xla"  # int8 forces the XLA engine
     d = np.abs(p_hi(sigs) - p_q(sigs))
-    assert d.max() < 5e-3, f"int8 parity {d.max():.2e} breaches the 5e-3 gate"
+    assert d.max() < 4e-2, f"int8 parity {d.max():.2e} breaches the 4e-2 gate"
+
+    p_demo = Predictor.from_checkpoint(CKPT, precision="int8",
+                                       calib_signals=demo_pack_signals())
+    d = np.abs(p_hi(sigs) - p_demo(sigs))
+    assert d.max() < 5e-3, f"demo-calibrated parity {d.max():.2e} (oracle)"
 
 
 def test_int8_predictor_multimodal_gate():
@@ -102,7 +116,7 @@ def test_int8_predictor_multimodal_gate():
     p_hi = Predictor.from_checkpoint(MM_CKPT, arch="multimodal", engine="xla")
     p_q = Predictor.from_checkpoint(MM_CKPT, arch="multimodal", precision="int8")
     d = np.abs(p_hi(sigs, demo=demos) - p_q(sigs, demo=demos))
-    assert d.max() < 5e-3, f"int8 multimodal parity {d.max():.2e}"
+    assert d.max() < 4e-2, f"int8 multimodal parity {d.max():.2e}"
 
 
 def test_int8_predictor_af_gate():
@@ -110,7 +124,7 @@ def test_int8_predictor_af_gate():
     p_hi = Predictor.from_checkpoint(AF_CKPT, num_labels=1, engine="xla")
     p_q = Predictor.from_checkpoint(AF_CKPT, num_labels=1, precision="int8")
     d = np.abs(p_hi(sigs) - p_q(sigs))
-    assert d.max() < 5e-3, f"int8 AF parity {d.max():.2e}"
+    assert d.max() < 4e-2, f"int8 AF parity {d.max():.2e}"
 
 
 def test_int8_rejects_pallas_engine():

@@ -69,19 +69,33 @@ def test_report_schema_and_bias_correct(rng):
 
 
 @pytest.mark.slow
-def test_robust_calibration_passes_battery_gate():
-    """The robust preset bounds the battery tail (measured ~0.022 max /
-    0 flips on this stack); the demo-calibrated default does NOT — that
-    contrast is the documented tradeoff, so assert both directions."""
+def test_default_calibration_passes_battery_gate():
+    """Round-4 flip: the DEFAULT calibration is the robust preset and must
+    pass the battery gate (the round-3 verdict's item 2); the old demo-pack
+    calibration does NOT — that contrast is the documented tradeoff, so
+    assert both directions."""
+    from ptbxl_tpu.ops.quant import demo_pack_signals
+
     variables, _ = load_checkpoint(CKPT, arch="ecgcnn")
     bat = make_battery(n=64)  # reduced battery: same generator, CI-sized
-    robust = quant_accuracy_report(
-        variables, "ecgcnn", signals=bat,
-        calib_signals=robust_calibration_signals())
-    assert passes_battery_gate(robust), robust
-
     default = quant_accuracy_report(variables, "ecgcnn", signals=bat)
-    assert default["max"] > BATTERY_GATE["max"], (
+    assert passes_battery_gate(default), default
+
+    demo = quant_accuracy_report(variables, "ecgcnn", signals=bat,
+                                 calib_signals=demo_pack_signals())
+    assert demo["max"] > BATTERY_GATE["max"], (
         "demo calibration unexpectedly passes the battery gate — "
         "update the documented tradeoff"
     )
+
+
+def test_default_calib_is_robust_preset():
+    """ops/quant.default_calib_signals must BE the robust preset (the
+    shipped Predictor / serving-export / tune_int8 default all route
+    through it), in the documented [N, T, 12] layout."""
+    from ptbxl_tpu.ops.quant import default_calib_signals
+
+    d = default_calib_signals()
+    assert d.shape[1:] == (5000, 12)
+    np.testing.assert_array_equal(
+        d, robust_calibration_signals().transpose(0, 2, 1))

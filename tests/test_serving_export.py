@@ -210,7 +210,9 @@ def test_fixed_batch_with_cam_and_empty_input(tmp_path):
 
 def test_int8_artifact_roundtrip(tmp_path):
     """PTQ int8 artifact matches the int8 Predictor exactly and stays
-    within the 5e-3 gate of the f32 parity path."""
+    within the battery-gate bound of the f32 parity path (the default
+    calibration is the robust preset since round 4: demo parity ~1.6e-2,
+    battery max ~3e-2 — see ops/quant.py)."""
     path = str(tmp_path / "ecg_baseline_int8.stablehlo")
     export_serving_artifact(BASELINE_CKPT, path, platforms=("cpu",),
                             precision="int8")
@@ -223,7 +225,7 @@ def test_int8_artifact_roundtrip(tmp_path):
     np.testing.assert_allclose(got, ref_q, atol=2e-6)
 
     ref_f32 = Predictor.from_checkpoint(BASELINE_CKPT, engine="xla")(ecg)
-    assert np.abs(got - ref_f32).max() < 5e-3
+    assert np.abs(got - ref_f32).max() < 4e-2
 
 
 def test_int8_artifact_rejects_cam_and_pallas(tmp_path):

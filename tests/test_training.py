@@ -190,3 +190,69 @@ def test_multichip_equality_at_production_shape():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_full_fit_sharded_matches_unsharded(ptbxl_dir, tmp_path):
+    """Epoch-LEVEL sharded-training equality (round-3 verdict item 7): a full
+    multi-epoch trainer.train() fit — BatchSource epochs, padding masks,
+    eval metric gather, best-ckpt-by-val-AUPRC selection — run 8-way GSPMD
+    sharded and unsharded must produce identical rank metrics every epoch
+    and pick the same best checkpoint.  Losses are gated at 1e-3 (AdamW
+    amplifies reduction-order noise: measured drift 2.7e-4 by epoch 3;
+    rank metrics were bit-identical — probability perturbations ~1e-5 don't
+    reorder records).  Complements the one-STEP production-shape test above:
+    this one exercises the loop-level invariants under GSPMD
+    (reference loop: /root/reference/src/training/loop.py:14-73)."""
+    import csv as csvmod
+    import json
+    import os
+
+    from ptbxl_tpu.data import PTBXLDataset
+    from ptbxl_tpu.training import trainer as trainer_mod
+    from ptbxl_tpu.training.trainer import TrainRun, train
+
+    classes = ["MI", "STTC", "HYP", "CD", "NORM"]
+
+    def fit(tag, n_data):
+        out = tmp_path / tag
+        os.makedirs(out)
+        orig = trainer_mod.mesh_for_batch
+        trainer_mod.mesh_for_batch = (
+            lambda bs: trainer_mod.make_mesh(n_data=n_data, n_model=1))
+        try:
+            model, variables = build_ecgcnn(num_labels=5, seed=0)
+            train(TrainRun(
+                model=model, variables=variables,
+                train_ds=PTBXLDataset(ptbxl_dir, "train", classes),
+                val_ds=PTBXLDataset(ptbxl_dir, "val", classes),
+                batch_size=8, epochs=3, lr=1e-3, weight_decay=1e-4, seed=42,
+                run_name=tag, metrics_csv=str(out / "m.csv"),
+                ckpt_path=str(out / "best.npz"), config_path="c.yaml",
+                classes=classes, pth_export=False,
+            ))
+        finally:
+            trainer_mod.mesh_for_batch = orig
+        with open(out / "m.csv") as f:
+            rows = list(csvmod.reader(f))[1:]
+        with open(out / "best.npz.meta.json") as f:
+            meta = json.load(f)
+        return rows, meta
+
+    rows1, meta1 = fit("unsharded", 1)
+    rows8, meta8 = fit("sharded", 8)
+
+    assert len(rows1) == len(rows8) == 3
+    for r1, r8 in zip(rows1, rows8):
+        # CSV schema: datetime,run,epoch,train_bce,auroc,auprc,f1,bce,...
+        assert r1[2] == r8[2]
+        # rank metrics identical (deterministic; measured bit-equal)
+        assert r1[4] == r8[4], f"epoch {r1[2]} auroc {r1[4]} != {r8[4]}"
+        assert r1[5] == r8[5], f"epoch {r1[2]} auprc {r1[5]} != {r8[5]}"
+        assert r1[6] == r8[6], f"epoch {r1[2]} f1 {r1[6]} != {r8[6]}"
+        # losses within the AdamW reduction-order drift bound
+        np.testing.assert_allclose(float(r1[3]), float(r8[3]), atol=1e-3)
+        np.testing.assert_allclose(float(r1[7]), float(r8[7]), atol=1e-3)
+    # identical best-checkpoint choice
+    assert meta1["val_auprc"] == meta8["val_auprc"]

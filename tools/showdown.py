@@ -169,6 +169,33 @@ def synth_demo_split(y, seed):
     return np.stack([age, sex, height, weight, pace], axis=1).astype(np.float32)
 
 
+def _prob_stats(y, probs, threshold=0.5):
+    """Calibration diagnostics around the reference's fixed 0.5 threshold
+    (/root/reference/src/training/metrics.py:37-40) — instrumentation for
+    the F1@0.5 divergence root-cause (round-3 verdict item 3).  Flattened
+    over (sample, class) decisions."""
+    y = np.asarray(y).reshape(-1)
+    p = np.asarray(probs).reshape(-1)
+    pos, neg = p[y > 0.5], p[y <= 0.5]
+    qs = (0, 10, 25, 50, 75, 90, 100)
+
+    def qd(a):
+        if not a.size:
+            return None
+        return {str(q): round(float(np.percentile(a, q)), 4) for q in qs}
+
+    return {
+        "threshold": threshold,
+        "pos_quantiles": qd(pos),
+        "neg_quantiles": qd(neg),
+        "pos_mean": float(pos.mean()) if pos.size else None,
+        "neg_mean": float(neg.mean()) if neg.size else None,
+        # recall / false-positive-rate at the fixed threshold
+        "pos_above": float((pos >= threshold).mean()) if pos.size else None,
+        "neg_above": float((neg >= threshold).mean()) if neg.size else None,
+    }
+
+
 def arch_labels(y, arch):
     """baseline/multimodal: the 5 superclass labels; af: single-logit binary
     using the MI morphology cue as the positive class (exercises the AF task
@@ -266,17 +293,18 @@ def run_torch(cfg):
                     "epoch": epoch}
 
     model.load_state_dict(best["state"])
-    test_m, _ = eval_split(x_te, y_te, bs, d_te)
+    test_m, test_probs = eval_split(x_te, y_te, bs, d_te)
     out = {
         "framework": "torch", "config": cfg, "curves": curves,
         "best_epoch": best["epoch"],
         "test_auroc_macro": test_m["auroc_macro"],
         "test_auprc_macro": test_m["auprc_macro"],
         "test_f1_macro": test_m["f1_macro"],
+        "test_prob_stats": _prob_stats(y_te, test_probs),
         "wall_s": time.time() - t_start,
     }
     os.makedirs(OUT_DIR, exist_ok=True)
-    with open(os.path.join(OUT_DIR, f"torch{_tag(cfg)}.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"torch{_tag(cfg, 'torch')}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(f"[torch] FINAL test auroc {test_m['auroc_macro']:.4f} "
           f"auprc {test_m['auprc_macro']:.4f} (best epoch {best['epoch']})",
@@ -299,8 +327,10 @@ def run_jax(cfg):
         eval_one_epoch,
         make_eval_step,
         make_train_step,
+        predict_all,
         train_one_epoch,
     )
+    from ptbxl_tpu.training.metrics import compute_metrics
     from ptbxl_tpu.training.train_state import create_train_state, make_optimizer
 
     arch = cfg.get("arch", "baseline")
@@ -374,13 +404,15 @@ def run_jax(cfg):
             best = {"val_auprc": val_m["auprc_macro"],
                     "state": jax.device_get(state), "epoch": epoch}
 
-    test_m = eval_one_epoch(best["state"], eval_step, te(0))
+    y_true, y_prob, _ = predict_all(best["state"], eval_step, te(0))
+    test_m = compute_metrics(y_true, y_prob, threshold=0.5)
     out = {
         "framework": "jax", "config": cfg, "curves": curves,
         "best_epoch": best["epoch"],
         "test_auroc_macro": test_m["auroc_macro"],
         "test_auprc_macro": test_m["auprc_macro"],
         "test_f1_macro": test_m["f1_macro"],
+        "test_prob_stats": _prob_stats(y_true, y_prob),
         "wall_s": time.time() - t_start,
         "backend": jax.default_backend(),
     }
@@ -398,18 +430,28 @@ def run_jax(cfg):
 _ARCH_TAG = {"baseline": "", "multimodal": "_mm", "af": "_af"}
 
 
-def _tag(cfg):
+def _tag(cfg, framework=None):
+    """Artifact-name tag.  ``_ti`` (torch-init) marks only the JAX arm:
+    ``jax_torch_init`` does not change the torch run at all, and tagging the
+    torch file too would write a duplicate torch baseline that
+    _collect_seed_runs excludes from the mean (round-3 advisor finding)."""
     tag = _ARCH_TAG[cfg.get("arch", "baseline")]
     tag += "_hard" if cfg.get("hard") else ""
     if cfg.get("train_seed"):
         tag += f"_ts{cfg['train_seed']}"
-    if cfg.get("jax_torch_init"):
+    if cfg.get("jax_torch_init") and framework != "torch":
         tag += "_ti"
     return tag
 
 
+# The three reference-visible test metrics (scripts/06:113-114 print all
+# three; F1 at the fixed 0.5 threshold, src/training/metrics.py:37-40).
+_METRIC_KEYS = {"auroc": "test_auroc_macro", "auprc": "test_auprc_macro",
+                "f1": "test_f1_macro"}
+
+
 def _collect_seed_runs(framework, variant_base):
-    """All per-seed result files for one arm: {filename: test AUROC}.
+    """All per-seed result files for one arm: {filename: {metric: value}}.
 
     Matches ``{framework}{base}.json`` and ``..._tsNN.json``; the
     init-matched jax arm (``_ti``) is tracked separately in PARITY.md.
@@ -421,18 +463,42 @@ def _collect_seed_runs(framework, variant_base):
     for f in sorted(os.listdir(OUT_DIR)) if os.path.isdir(OUT_DIR) else []:
         if pat.match(f):
             with open(os.path.join(OUT_DIR, f)) as fh:
-                out[f] = json.load(fh)["test_auroc_macro"]
+                d = json.load(fh)
+            out[f] = {m: d[k] for m, k in _METRIC_KEYS.items()}
     return out
 
 
-def compare(budget=0.005, cfg=None):
+def _welch_t(a, b):
+    """Welch t-statistic mean(a)-mean(b); None when either arm lacks spread
+    data (n<2)."""
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    if len(a) < 2 or len(b) < 2:
+        return None
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    denom = float(np.sqrt(va + vb))
+    if denom == 0.0:
+        return None
+    return float((a.mean() - b.mean()) / denom)
+
+
+def compare(budget=0.005, cfg=None, budget_auprc=0.02, budget_f1=0.10):
+    """Three-metric gating (round-3 verdict item 3): AUROC, AUPRC and F1@0.5
+    deficits vs torch are each gated — on per-seed MEANS whenever several
+    seeds exist (single-seed hard-variant deltas measure seed variance, not
+    framework quality: torch's own 6-seed baseline-hard sd is 0.0039 AUROC
+    — and F1@0.5 sd is 0.138, thirty-five times larger).  Budgets per
+    metric: AUROC keeps the 0.005 north star (BASELINE.md:48); AUPRC/F1 get
+    wider bounds sized from measured seed spread — the F1 budget 0.10 is
+    ~1.4x the n=6 standard error of the mean difference (0.072, from the
+    measured per-arm sds 0.138/0.111); Welch t per metric is reported so
+    the significance of any deficit is visible (docs/PARITY.md).
+    """
+    budgets = {"auroc": budget, "auprc": budget_auprc, "f1": budget_f1}
     tag = _tag(cfg or {})
-    with open(os.path.join(OUT_DIR, f"torch{tag}.json")) as f:
+    with open(os.path.join(OUT_DIR, f"torch{_tag(cfg or {}, 'torch')}.json")) as f:
         t = json.load(f)
     with open(os.path.join(OUT_DIR, f"jax{tag}.json")) as f:
         j = json.load(f)
-    d_auroc = abs(t["test_auroc_macro"] - j["test_auroc_macro"])
-    d_auprc = abs(t["test_auprc_macro"] - j["test_auprc_macro"])
     report = {
         "torch": {k: t[k] for k in
                   ("test_auroc_macro", "test_auprc_macro", "test_f1_macro",
@@ -440,48 +506,76 @@ def compare(budget=0.005, cfg=None):
         "jax": {k: j[k] for k in
                 ("test_auroc_macro", "test_auprc_macro", "test_f1_macro",
                  "best_epoch", "wall_s")},
-        "delta_auroc": d_auroc,
-        "delta_auprc": d_auprc,
+        # legacy top-level AUROC fields (older tooling/PARITY tables)
+        "delta_auroc": abs(t["test_auroc_macro"] - j["test_auroc_macro"]),
+        "delta_auprc": abs(t["test_auprc_macro"] - j["test_auprc_macro"]),
         "budget": budget,
         # no-regression reading of the north star (BASELINE.md:48): a jax
         # result ABOVE torch has not lost quality parity
         "deficit_vs_torch": max(0.0, t["test_auroc_macro"] - j["test_auroc_macro"]),
         "config": t["config"],
     }
-    report["within_budget"] = report["deficit_vs_torch"] <= budget
+    for fw, blob in (("torch", t), ("jax", j)):
+        if "test_prob_stats" in blob:
+            report[fw]["test_prob_stats"] = blob["test_prob_stats"]
+
+    metrics = {}
+    for m, key in _METRIC_KEYS.items():
+        metrics[m] = {
+            "torch": t[key], "jax": j[key],
+            "delta": abs(t[key] - j[key]),
+            "deficit_vs_torch": max(0.0, t[key] - j[key]),
+            "budget": budgets[m],
+        }
 
     # Multi-seed aggregation: on noisy variants single-seed deltas measure
-    # seed variance, not framework quality (measured: torch's own 3-seed
-    # spread on --hard is 0.0134 > the 0.005 budget) — when several seeds
-    # exist per arm, the means comparison is the verdict.
+    # seed variance, not framework quality — when several seeds exist per
+    # arm, the means comparison is the verdict (for every metric).
     c = cfg or {}
     base = _ARCH_TAG[c.get("arch", "baseline")] + ("_hard" if c.get("hard") else "")
     t_runs = _collect_seed_runs("torch", base)
     j_runs = _collect_seed_runs("jax", base)
-    if len(t_runs) > 1 or len(j_runs) > 1:
-        t_mean = float(np.mean(list(t_runs.values())))
-        j_mean = float(np.mean(list(j_runs.values())))
+    means_mode = len(t_runs) > 1 or len(j_runs) > 1
+    if means_mode:
         report["seed_runs"] = {"torch": t_runs, "jax": j_runs}
-        report["mean_auroc"] = {"torch": t_mean, "jax": j_mean}
-        report["delta_auroc_means"] = abs(t_mean - j_mean)
-        # The north-star budget ("AUROC within 0.005 of reference",
-        # BASELINE.md:48) is a no-regression bound: gate the DEFICIT vs the
-        # reference, not the absolute gap — a framework that lands ABOVE
-        # the torch mean (measured: +0.0053 at 5 seeds on --hard, jax ahead
-        # at every rank) has not lost quality parity.  Both numbers stay in
-        # the report.
-        report["deficit_vs_torch_means"] = max(0.0, t_mean - j_mean)
-        report["within_budget"] = report["deficit_vs_torch_means"] <= budget
+        for m in _METRIC_KEYS:
+            tv = [r[m] for r in t_runs.values()]
+            jv = [r[m] for r in j_runs.values()]
+            e = metrics[m]
+            e["mean"] = {"torch": float(np.mean(tv)), "jax": float(np.mean(jv))}
+            e["sd"] = {"torch": float(np.std(tv, ddof=1)) if len(tv) > 1 else None,
+                       "jax": float(np.std(jv, ddof=1)) if len(jv) > 1 else None}
+            e["n"] = {"torch": len(tv), "jax": len(jv)}
+            e["delta_means"] = abs(e["mean"]["torch"] - e["mean"]["jax"])
+            e["deficit_vs_torch_means"] = max(
+                0.0, e["mean"]["torch"] - e["mean"]["jax"])
+            e["welch_t"] = _welch_t(tv, jv)
+        # legacy AUROC aliases
+        report["mean_auroc"] = metrics["auroc"]["mean"]
+        report["delta_auroc_means"] = metrics["auroc"]["delta_means"]
+        report["deficit_vs_torch_means"] = metrics["auroc"]["deficit_vs_torch_means"]
+
+    gates = {}
+    for m, e in metrics.items():
+        shown = e.get("deficit_vs_torch_means", e["deficit_vs_torch"])
+        gates[m] = bool(shown <= e["budget"])
+        e["within_budget"] = gates[m]
+    report["metrics"] = metrics
+    report["within_budget_per_metric"] = gates
+    report["within_budget"] = all(gates.values())
 
     with open(os.path.join(OUT_DIR, f"report{tag}.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
-    shown = report.get("deficit_vs_torch_means", report["deficit_vs_torch"])
-    kind = "mean deficit " if "deficit_vs_torch_means" in report else "deficit "
+    kind = "mean deficit" if means_mode else "deficit"
+    line = " | ".join(
+        f"{m} {metrics[m].get('deficit_vs_torch_means', metrics[m]['deficit_vs_torch']):.4f}"
+        f"/{metrics[m]['budget']}{'' if gates[m] else ' FAIL'}"
+        for m in _METRIC_KEYS)
     if not report["within_budget"]:
-        print(f"[showdown] FAIL: {kind}|dAUROC| {shown:.4f} > {budget}", flush=True)
+        print(f"[showdown] FAIL ({kind} per metric): {line}", flush=True)
         return 1
-    print(f"[showdown] OK: {kind}|dAUROC| {shown:.4f} <= {budget}", flush=True)
+    print(f"[showdown] OK ({kind} per metric): {line}", flush=True)
     return 0
 
 
@@ -507,14 +601,15 @@ def summary():
             d = json.load(fh)
         key = (arch, variant, arm)
         rows.setdefault(key, []).append(
-            (d["test_auroc_macro"], d.get("backend", "cpu")))
+            (d["test_auroc_macro"], d["test_f1_macro"], d.get("backend", "cpu")))
     for (arch, variant, arm), vals in sorted(rows.items()):
         aurocs = [v[0] for v in vals]
-        backends = {v[1] for v in vals}
+        f1s = [v[1] for v in vals]
+        backends = {v[2] for v in vals}
         mean = float(np.mean(aurocs))
         sd = float(np.std(aurocs, ddof=1)) if len(aurocs) > 1 else 0.0
         print(f"{arch:10s} {variant:8s} {arm:18s} n={len(aurocs)} "
-              f"mean {mean:.4f} sd {sd:.4f}  "
+              f"auroc {mean:.4f} sd {sd:.4f} f1@0.5 {float(np.mean(f1s)):.4f}  "
               f"[{', '.join(f'{a:.4f}' for a in sorted(aurocs))}] "
               f"backends={sorted(backends)}")
 
@@ -560,7 +655,13 @@ def main():
     p.add_argument("--n_train", type=int, default=1200)
     p.add_argument("--n_val", type=int, default=400)
     p.add_argument("--n_test", type=int, default=600)
-    p.add_argument("--budget", type=float, default=0.005)
+    p.add_argument("--budget", type=float, default=0.005,
+                   help="AUROC mean-deficit budget (the north star)")
+    p.add_argument("--budget_auprc", type=float, default=0.02,
+                   help="AUPRC mean-deficit budget")
+    p.add_argument("--budget_f1", type=float, default=0.10,
+                   help="F1@0.5 mean-deficit budget (threshold calibration; "
+                        "sized from the measured per-seed F1 sd ~0.13)")
     args = p.parse_args()
     cfg = make_config(args)
 
@@ -574,12 +675,12 @@ def main():
     elif args.cmd == "jax":
         run_jax(cfg)
     elif args.cmd == "compare":
-        sys.exit(compare(args.budget, cfg))
+        sys.exit(compare(args.budget, cfg, args.budget_auprc, args.budget_f1))
     else:  # run
         ensure_dataset(cfg)
         run_jax(cfg)
         run_torch(cfg)
-        sys.exit(compare(args.budget, cfg))
+        sys.exit(compare(args.budget, cfg, args.budget_auprc, args.budget_f1))
 
 
 if __name__ == "__main__":
