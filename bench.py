@@ -29,6 +29,11 @@ import numpy as np
 
 NORTH_STAR_RPS = 1000.0
 
+# PTBXL_TPU_BENCH_SMOKE=1 shrinks the headline sweep to wiring-check sizes so
+# the SUCCESS path (backend acquisition -> sweep -> headline JSON -> sidecar)
+# is testable on CPU; numbers produced under it are meaningless.
+SMOKE = os.environ.get("PTBXL_TPU_BENCH_SMOKE", "") not in ("", "0")
+
 # ---------------------------------------------------------------------------
 # Analytic FLOPs model (round-3 verdict item 5): hardware-normalized MFU next
 # to every rec/s number, so "139x the north star" is anchored to the v5e
@@ -133,7 +138,9 @@ def _build(precision, dtype_name):
     return forward, variables
 
 
-def _throughput(forward, variables, batch, iters=20, warmup=5):
+def _throughput(forward, variables, batch, iters=None, warmup=5):
+    if iters is None:
+        iters = 2 if SMOKE else 20
     """Sustained device throughput with host-dispatch overhead amortized.
 
     The dev environment reaches the chip through a tunnel with ~50-90 ms of
@@ -290,6 +297,11 @@ def bench_inference(full=False):
             ("xla_int8", None, "int8", [8192, 12288, 16384]),
             ("pallas", None, "f32", [512, 2048]),
             ("hybrid", None, "bf16", [8192]),
+        ]
+    elif SMOKE:
+        configs = [
+            ("xla", "highest", "f32", [8]),
+            ("xla", None, "bf16", [8]),
         ]
     else:
         # headline mode: only the configurations that can win (the full

@@ -109,3 +109,38 @@ def test_preflight_never_touches_foreign_pids(tmp_path, monkeypatch):
     # and the pidfile now holds our own pid
     with open(tmp_path / "ptbxl_tpu_bench.pid") as f:
         assert int(f.read()) == os.getpid()
+
+
+@pytest.mark.slow
+def test_headline_success_path_smoke(tmp_path):
+    """SUCCESS-path wiring check on CPU (PTBXL_TPU_BENCH_SMOKE shrinks the
+    sweep): backend acquisition -> sweep -> one numeric JSON headline ->
+    v2 sidecar.  Numbers under smoke are meaningless; only the contract is
+    asserted."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update({
+        "PTBXL_TPU_PLATFORM": "cpu",
+        "PTBXL_TPU_BENCH_SMOKE": "1",
+        "PTBXL_TPU_BENCH_PROBE_TIMEOUT": "0",  # CPU init is reliable
+    })
+    out = str(tmp_path / "bench_results.json")
+    r = subprocess.run(
+        [sys.executable, BENCH, "--out", out],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["metric"] == "ecg_inference_records_per_sec_per_chip"
+    assert isinstance(parsed["value"], (int, float)) and parsed["value"] > 0
+    assert "error" not in parsed
+    with open(out) as f:
+        suite = json.load(f)
+    assert suite["schema"] == "ptbxl_tpu_bench_v2"
+    assert suite["backend"] == "cpu"
+    assert suite["backend_attempts"] == 1
+    assert "mfu_model" in suite and "preflight" in suite
+    rows = suite["inference"]["rows"]
+    assert rows and all("tflops" in row for row in rows)
