@@ -282,7 +282,8 @@ def run_torch(cfg):
         val_m, _ = eval_split(x_va, y_va, bs, d_va)
         curves.append({"epoch": epoch, "train_bce": train_loss,
                        "val_auroc": val_m["auroc_macro"],
-                       "val_auprc": val_m["auprc_macro"]})
+                       "val_auprc": val_m["auprc_macro"],
+                       "val_f1": val_m["f1_macro"]})
         print(f"[torch] epoch {epoch}: train_bce {train_loss:.4f} "
               f"val_auroc {val_m['auroc_macro']:.4f} "
               f"val_auprc {val_m['auprc_macro']:.4f} "
@@ -301,6 +302,10 @@ def run_torch(cfg):
         "test_auprc_macro": test_m["auprc_macro"],
         "test_f1_macro": test_m["f1_macro"],
         "test_prob_stats": _prob_stats(y_te, test_probs),
+        # full test probs (<=1000 rows is ~60 KB of JSON): lets calibration /
+        # threshold analyses run offline on recorded artifacts
+        "test_probs": np.round(test_probs, 6).tolist() if len(y_te) <= 1000 else None,
+        "test_y": y_te.tolist() if len(y_te) <= 1000 else None,
         "wall_s": time.time() - t_start,
     }
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -395,7 +400,8 @@ def run_jax(cfg):
         val_m = eval_one_epoch(state, eval_step, va(0))
         curves.append({"epoch": epoch, "train_bce": train_loss,
                        "val_auroc": val_m["auroc_macro"],
-                       "val_auprc": val_m["auprc_macro"]})
+                       "val_auprc": val_m["auprc_macro"],
+                       "val_f1": val_m["f1_macro"]})
         print(f"[jax] epoch {epoch}: train_bce {train_loss:.4f} "
               f"val_auroc {val_m['auroc_macro']:.4f} "
               f"val_auprc {val_m['auprc_macro']:.4f} "
@@ -413,6 +419,8 @@ def run_jax(cfg):
         "test_auprc_macro": test_m["auprc_macro"],
         "test_f1_macro": test_m["f1_macro"],
         "test_prob_stats": _prob_stats(y_true, y_prob),
+        "test_probs": np.round(y_prob, 6).tolist() if len(y_true) <= 1000 else None,
+        "test_y": y_true.tolist() if len(y_true) <= 1000 else None,
         "wall_s": time.time() - t_start,
         "backend": jax.default_backend(),
     }
