@@ -35,7 +35,9 @@ def _run_bench(tmp_path, extra_env):
     out = str(tmp_path / "bench_results.json")
     r = subprocess.run(
         [sys.executable, BENCH, "--out", out],
-        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+        # generous: several jax imports (probe subprocesses + main) can take
+        # minutes each when the box is contended (1 CPU core)
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
     )
     return r, out
 
