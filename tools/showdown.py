@@ -587,6 +587,69 @@ def compare(budget=0.005, cfg=None, budget_auprc=0.02, budget_f1=0.10):
     return 0
 
 
+def calibration_analysis(cfg=None):
+    """Offline threshold/calibration analysis over recorded artifacts that
+    carry full test probabilities (round-4 instrumentation).
+
+    For every run of the selected arch/variant: F1 at the reference's fixed
+    0.5 threshold, the best single global threshold and F1 there, and the
+    positive/negative probability medians.  Quantifies how much of any
+    F1@0.5 gap is threshold placement (recoverable by the reference's own
+    dormant `thresholds: search_per_class` config, implemented opt-in in
+    this framework) versus ranking quality (not recoverable).
+    """
+    import re
+
+    from ptbxl_tpu.training.metrics import compute_metrics
+
+    c = cfg or {}
+    base = _ARCH_TAG[c.get("arch", "baseline")] + ("_hard" if c.get("hard") else "")
+    pat = re.compile(rf"^(torch|jax){base}(_ts\d+)?(_ti)?\.json$")
+    rows = []
+    for f in sorted(os.listdir(OUT_DIR)) if os.path.isdir(OUT_DIR) else []:
+        m = pat.match(f)
+        if not m:
+            continue
+        with open(os.path.join(OUT_DIR, f)) as fh:
+            d = json.load(fh)
+        if not d.get("test_probs"):
+            continue
+        p = np.asarray(d["test_probs"], np.float32)
+        y = np.asarray(d["test_y"], np.float32)
+        best_t, best_f1 = 0.5, -1.0
+        for t in np.arange(0.02, 0.99, 0.02):
+            # the reference's own F1 semantics (compute_metrics -> sklearn
+            # macro; for the 1-logit AF task that macro-averages BOTH
+            # classes, so near-zero recall still scores ~0.4 via the
+            # negative class — keep the same instrument at every threshold)
+            f1 = compute_metrics(y, p, threshold=float(t))["f1_macro"]
+            if f1 > best_f1:
+                best_t, best_f1 = float(t), float(f1)
+        pos, neg = p[y > 0.5], p[y <= 0.5]
+        rows.append({
+            "file": f, "framework": m.group(1),
+            "f1_at_0.5": float(d["test_f1_macro"]),
+            "best_threshold": best_t, "f1_at_best": best_f1,
+            "pos_median": float(np.median(pos)) if pos.size else None,
+            "neg_median": float(np.median(neg)) if neg.size else None,
+        })
+        print(f"{f:34s} f1@0.5 {rows[-1]['f1_at_0.5']:.4f} | "
+              f"best t={best_t:.2f} f1 {best_f1:.4f} | "
+              f"pos med {rows[-1]['pos_median']:.4f} "
+              f"neg med {rows[-1]['neg_median']:.4f}", flush=True)
+    if not rows:
+        print("[showdown] no artifacts with stored test_probs for this arm "
+              "(only runs recorded after round 4 carry them)")
+        return rows
+    for fw in ("torch", "jax"):
+        sel = [r for r in rows if r["framework"] == fw]
+        if sel:
+            print(f"[{fw}] mean f1@0.5 {np.mean([r['f1_at_0.5'] for r in sel]):.4f} "
+                  f"-> mean f1@best {np.mean([r['f1_at_best'] for r in sel]):.4f} "
+                  f"(n={len(sel)})", flush=True)
+    return rows
+
+
 def summary():
     """Print every recorded run grouped by arch/variant/arm (judge view)."""
     import re
@@ -639,7 +702,8 @@ def make_config(args):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("cmd", choices=["run", "gen", "torch", "jax", "compare", "summary"])
+    p.add_argument("cmd", choices=["run", "gen", "torch", "jax", "compare",
+                                   "summary", "calib"])
     p.add_argument("--quick", action="store_true", help="smoke-sized")
     p.add_argument("--hard", action="store_true",
                    help="low-SNR + 4%% label-noise variant (mid-range "
@@ -675,6 +739,9 @@ def main():
 
     if args.cmd == "summary":
         summary()
+        return
+    if args.cmd == "calib":
+        calibration_analysis(cfg)
         return
     if args.cmd == "gen":
         ensure_dataset(cfg)
