@@ -616,8 +616,16 @@ def calibration_analysis(cfg=None):
             continue
         p = np.asarray(d["test_probs"], np.float32)
         y = np.asarray(d["test_y"], np.float32)
+        # Candidate thresholds from the probability QUANTILES (plus 0.5):
+        # a fixed grid cannot resolve a compressed distribution (e.g. the
+        # jax AF-hard arm's positive median sits at ~1e-3 — every grid
+        # point lands above almost all probabilities).
+        cand = np.unique(np.concatenate([
+            np.quantile(p.reshape(-1), np.linspace(0.005, 0.995, 199)),
+            [0.5],
+        ]))
         best_t, best_f1 = 0.5, -1.0
-        for t in np.arange(0.02, 0.99, 0.02):
+        for t in cand:
             # the reference's own F1 semantics (compute_metrics -> sklearn
             # macro; for the 1-logit AF task that macro-averages BOTH
             # classes, so near-zero recall still scores ~0.4 via the
@@ -634,7 +642,7 @@ def calibration_analysis(cfg=None):
             "neg_median": float(np.median(neg)) if neg.size else None,
         })
         print(f"{f:34s} f1@0.5 {rows[-1]['f1_at_0.5']:.4f} | "
-              f"best t={best_t:.2f} f1 {best_f1:.4f} | "
+              f"best t={best_t:.3g} f1 {best_f1:.4f} | "
               f"pos med {rows[-1]['pos_median']:.4f} "
               f"neg med {rows[-1]['neg_median']:.4f}", flush=True)
     if not rows:
