@@ -416,7 +416,12 @@ def bench_multimodal(batch_size=8192, iters=10, precision="default"):
             h = zscore_per_lead_batch(xd)
             pr = np.asarray(jax.nn.sigmoid(model_f32.apply(variables, h, dd, False)))
             worst = max(worst, float(np.abs(p - pr).max()))
-        if worst > 5e-3:
+        # int8 ships the robust calibration (round-4 default), whose demo-pack
+        # parity is ~7e-3 BY DESIGN (coarser steps buy the battery-gated OOD
+        # bound, docs/ARCHITECTURE.md "int8 accuracy") — gate it at the
+        # battery max like the main sweep's xla_int8 rows, bf16 at 5e-3.
+        tol = 4e-2 if precision == "int8" else 5e-3
+        if worst > tol:
             print(f"# multimodal {precision} parity FAIL ({worst:.2e}) — "
                   "number withheld", file=sys.stderr)
             return None
@@ -1060,11 +1065,19 @@ def main():
     parser.add_argument("--host-scaling", action="store_true",
                         help="only the host decode/gather thread sweep "
                              "(no device required)")
-    parser.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
+    parser.add_argument("--out", default=None,
         help="machine-readable sidecar with every measured metric "
-             "(the stdout line stays the single driver-parsed headline)")
+             "(the stdout line stays the single driver-parsed headline); "
+             "defaults to bench_results.json for --full and "
+             "bench_results_headline.json otherwise, so a headline-mode run "
+             "(the driver's) never clobbers the committed full-mode evidence")
     args = parser.parse_args()
+    if args.out is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        name = ("bench_results.json" if args.full
+                else "bench_results_host_scaling.json" if args.host_scaling
+                else "bench_results_headline.json")
+        args.out = os.path.join(here, name)
 
     _enable_compile_cache()
 
@@ -1285,6 +1298,20 @@ def _run(args, suite):
                   f"p50 {p50:.2f} ms dispatch-inclusive, {onchip:.2f} ms on-chip, "
                   f"{onchip5:.2f} ms on-chip for ALL 5 classes (one-pass vjp)",
                   file=sys.stderr)
+
+    if not args.full and not SMOKE:
+        # Compact host-thread-scaling probe in headline mode too: the dev box
+        # has ONE core, so the threaded C++ decode/gather scaling claim can
+        # only be observed on the (multi-core) driver host.  The driver runs
+        # bench.py in headline mode and keeps stderr, so this line is the one
+        # place the scaling table can land on the round ledger.
+        hs = _record("host_scaling", bench_host_scaling, n_records=1024)
+        if hs and "error" not in hs and hs.get("rows"):
+            cells = " | ".join(
+                f"t={r['threads']} decode {r['decode_rps']:.0f}"
+                f" gather {r['gather_rps']:.0f}" for r in hs["rows"])
+            print(f"# host thread scaling rec/s (cpu_count={hs['cpu_count']}): "
+                  f"{cells}", file=sys.stderr)
 
     value = best["rps"] if best else 0.0
     suite["headline"] = {
