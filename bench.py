@@ -1287,6 +1287,25 @@ def _run(args, suite):
         if e2e is not None and not isinstance(e2e, dict):
             print(f"# sustained e2e epoch (memmap->prefetch->device, measured; "
                   f"H2D tunnel-bound in this env): {e2e:.1f} rec/s", file=sys.stderr)
+            # Attribute the bottleneck so the bare float can't be misread:
+            # per-stage rates name the slowest link and whether it is the
+            # dev-tunnel H2D hop (absent on a production PCIe/DMA host).
+            stg = suite.get("pipeline_stages")
+            if isinstance(stg, dict) and "error" not in stg:
+                device_rps = best["rps"] if best else float("nan")
+                rates = {"host_warm": stg["host_warm"], "h2d": stg["h2d"],
+                         "device": device_rps}
+                slowest = min(rates, key=lambda k: rates[k])
+                suite["sustained_e2e_detail"] = {
+                    "rps": e2e,
+                    "bottleneck": slowest,
+                    "stage_rps": rates,
+                    "h2d_MBps": stg["h2d_MBps"],
+                    "tunnel_bound": slowest == "h2d",
+                    "note": ("H2D rides the dev tunnel here; on a production "
+                             "host (PCIe/DMA) sustained e2e converges toward "
+                             "e2e_roofline_rps = min(host_warm, device)"),
+                }
         lat = _record("demo_latency", bench_demo_latency)
         if lat is not None and not isinstance(lat, dict):
             p50, onchip, onchip5 = lat
@@ -1312,6 +1331,15 @@ def _run(args, suite):
                 f" gather {r['gather_rps']:.0f}" for r in hs["rows"])
             print(f"# host thread scaling rec/s (cpu_count={hs['cpu_count']}): "
                   f"{cells}", file=sys.stderr)
+        # Measured sustained e2e in headline mode too (small fixture, ~10 s):
+        # on this dev box the number is tunnel-H2D-bound (~290 rec/s), but the
+        # driver host may attach the chip locally — this line is where a
+        # production-grade sustained epoch would land on the round ledger.
+        e2e = _record("sustained_e2e_rps", bench_pipeline_e2e, n_records=1024)
+        if e2e is not None and not isinstance(e2e, dict):
+            print(f"# sustained e2e epoch (memmap->prefetch->device, measured; "
+                  f"tunnel-H2D-bound when ~290): {e2e:.1f} rec/s",
+                  file=sys.stderr)
 
     value = best["rps"] if best else 0.0
     suite["headline"] = {
