@@ -657,10 +657,11 @@ def calibration_analysis(cfg=None):
             "pos_median": float(np.median(pos)) if pos.size else None,
             "neg_median": float(np.median(neg)) if neg.size else None,
         })
+        med = lambda v: "n/a" if v is None else f"{v:.4f}"
         print(f"{f:34s} f1@0.5 {rows[-1]['f1_at_0.5']:.4f} | "
               f"best t={best_t:.3g} f1 {best_f1:.4f} | "
-              f"pos med {rows[-1]['pos_median']:.4f} "
-              f"neg med {rows[-1]['neg_median']:.4f}", flush=True)
+              f"pos med {med(rows[-1]['pos_median'])} "
+              f"neg med {med(rows[-1]['neg_median'])}", flush=True)
     if not rows:
         print("[showdown] no artifacts with stored test_probs for this arm "
               "(only runs recorded after round 4 carry them)")
