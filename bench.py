@@ -59,14 +59,29 @@ TRAIN_FLOPS_PER_REC = (3 * sum(CONV_FLOPS_PER_REC) - CONV_FLOPS_PER_REC[0]
 V5E_PEAKS = {"bf16": 197e12, "int8": 394e12, "f32_highest": 197e12 / 6}
 
 
+# set by _set_mfu_device once the backend is known: the peaks above are v5e
+# numbers, so %-of-peak is only meaningful there (TFLOP/s always is)
+_MFU_DEVICE_OK = False
+
+
+def _set_mfu_device(device_kind):
+    global _MFU_DEVICE_OK
+    d = str(device_kind).lower()
+    _MFU_DEVICE_OK = "v5 lite" in d or "v5e" in d
+    return _MFU_DEVICE_OK
+
+
 def _inference_mfu(rps, path, dtype_name):
     """(tflops, mfu_pct or None) for one inference-sweep row.
 
     MFU = measured time vs the roofline time-bound Σ_layer flops/peak_dtype.
     Pallas/hybrid rows report achieved TFLOP/s only (Mosaic's MXU issue mode
-    differs; ARCHITECTURE.md), as does anything on a non-v5e device.
+    differs; ARCHITECTURE.md), as does anything on a non-v5e device
+    (enforced via _set_mfu_device — the peaks are v5e constants).
     """
     tflops = rps * FWD_FLOPS_PER_REC / 1e12
+    if not _MFU_DEVICE_OK:
+        return tflops, None
     if path == "xla_int8":
         # default layer set (1, 3) int8, (0, 2) + dense bf16
         int8_f = CONV_FLOPS_PER_REC[1] + CONV_FLOPS_PER_REC[3]
@@ -83,6 +98,8 @@ def _inference_mfu(rps, path, dtype_name):
 
 def _train_mfu(rps, dtype_name):
     tflops = rps * TRAIN_FLOPS_PER_REC / 1e12
+    if not _MFU_DEVICE_OK:
+        return tflops, None
     peak = V5E_PEAKS["f32_highest" if dtype_name == "f32" else "bf16"]
     return tflops, 100.0 * rps * TRAIN_FLOPS_PER_REC / peak
 
@@ -139,8 +156,6 @@ def _build(precision, dtype_name):
 
 
 def _throughput(forward, variables, batch, iters=None, warmup=5):
-    if iters is None:
-        iters = 2 if SMOKE else 20
     """Sustained device throughput with host-dispatch overhead amortized.
 
     The dev environment reaches the chip through a tunnel with ~50-90 ms of
@@ -150,6 +165,8 @@ def _throughput(forward, variables, batch, iters=None, warmup=5):
     materialization of the (tiny) output.  One dispatch, ``iters * B``
     records of real chained compute.
     """
+    if iters is None:
+        iters = 2 if SMOKE else 20
     import jax
     import jax.numpy as jnp
 
@@ -914,28 +931,57 @@ def _write_sidecar(suite, out_path):
         print(f"# sidecar write failed: {e}", file=sys.stderr)
 
 
+def _proc_starttime(pid):
+    """Kernel start-time ticks of `pid` (field 22 of /proc/pid/stat) — the
+    identity token that makes a recorded PID safe against reuse."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _preflight_chip():
     """Best-effort check that no stale bench process still holds the chip.
 
-    The only process ever signalled is a PID this bench itself recorded in
-    its own pidfile AND whose /proc cmdline is a bench.py invocation — never
-    a pattern match over the process table.  Anything else holding an
-    accelerator fd is reported in the sidecar, not touched.
+    The only process ever signalled is one this bench itself recorded in its
+    own pidfile — matched by PID *and* kernel start time (so a recycled PID
+    can never be hit) AND whose /proc cmdline is a bench.py invocation —
+    never a pattern match over the process table.  Anything else holding an
+    accelerator fd is reported in the sidecar, not touched.  The pidfile is
+    removed on clean exit; PTBXL_TPU_BENCH_PREFLIGHT_KILL=0 makes the whole
+    preflight report-only (used by the test suite, whose bench subprocesses
+    must never signal a genuinely running bench on a shared box).
     """
+    import atexit
     import signal
     import tempfile
 
     notes = []
+    may_kill = os.environ.get(
+        "PTBXL_TPU_BENCH_PREFLIGHT_KILL", "1") not in ("0", "false")
     pidfile = os.path.join(tempfile.gettempdir(), "ptbxl_tpu_bench.pid")
     try:
         if os.path.exists(pidfile):
             with open(pidfile) as f:
-                old = int(f.read().strip() or 0)
+                rec = f.read().split()
+            old = int(rec[0] or 0) if rec else 0
+            old_start = rec[1] if len(rec) > 1 else None
             cmdline_path = f"/proc/{old}/cmdline"
             if old and old != os.getpid() and os.path.exists(cmdline_path):
                 with open(cmdline_path, "rb") as f:
                     cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
-                if "bench.py" in cmd:
+                same_proc = (old_start is not None
+                             and _proc_starttime(old) == old_start)
+                if not same_proc:
+                    notes.append(f"pidfile pid {old} predates reboot or was "
+                                 "recycled (start-time mismatch); left alone")
+                elif "bench.py" not in cmd:
+                    notes.append(f"pidfile pid {old} is not bench.py; left alone")
+                elif not may_kill:
+                    notes.append(f"stale bench pid {old} detected; kill "
+                                 "disabled (PTBXL_TPU_BENCH_PREFLIGHT_KILL=0)")
+                else:
                     notes.append(f"terminating stale bench pid {old}")
                     try:
                         os.kill(old, signal.SIGTERM)
@@ -947,10 +993,19 @@ def _preflight_chip():
                             os.kill(old, signal.SIGKILL)
                     except (ProcessLookupError, PermissionError):
                         pass
-                else:
-                    notes.append(f"pidfile pid {old} is not bench.py; left alone")
+        me = f"{os.getpid()} {_proc_starttime(os.getpid()) or ''}".strip()
         with open(pidfile, "w") as f:
-            f.write(str(os.getpid()))
+            f.write(me)
+
+        def _cleanup():
+            try:
+                with open(pidfile) as f:
+                    if f.read().strip() == me:
+                        os.unlink(pidfile)
+            except OSError:
+                pass
+
+        atexit.register(_cleanup)
     except Exception as e:
         notes.append(f"pidfile preflight skipped: {e}")
     try:  # informational only: other holders of accelerator device fds
@@ -982,7 +1037,16 @@ def _probe_backend_subprocess(timeout_s):
     """
     import subprocess
 
-    code = ("import jax; d = jax.devices()[0]; "
+    # Mirror apply_platform_env in the probe: PTBXL_TPU_PLATFORM is applied
+    # via jax.config (the env var alone cannot override a pinned
+    # JAX_PLATFORMS), so a bare `import jax` here would probe the WRONG
+    # backend whenever the bench itself was pointed elsewhere — e.g. a
+    # CPU-forced run stalling on a dead TPU tunnel it never intends to use.
+    code = ("import os; plat = os.environ.get('PTBXL_TPU_PLATFORM')\n"
+            "import jax\n"
+            "if plat:\n"
+            "    jax.config.update('jax_platforms', plat)\n"
+            "d = jax.devices()[0]\n"
             "print(jax.default_backend(), getattr(d, 'device_kind', d), "
             "sep='\\t')")
     try:
@@ -1134,12 +1198,16 @@ def _run(args, suite):
     suite["backend"] = backend
     suite["device"] = device
     suite["backend_attempts"] = attempts
+    mfu_ok = _set_mfu_device(device)
     suite["mfu_model"] = {
         "fwd_flops_per_record": FWD_FLOPS_PER_REC,
         "train_flops_per_record": TRAIN_FLOPS_PER_REC,
         "peaks_assumed": {"device": "v5e (TPU v5 lite)", **V5E_PEAKS},
+        "device_matches_peaks": mfu_ok,
         "note": "f32_highest peak assumes bf16_6x emulation; MFU counts "
-                "matmul FLOPs only (convs + dense), per convention",
+                "matmul FLOPs only (convs + dense), per convention"
+                + ("" if mfu_ok else "; mfu_pct omitted: measured device "
+                   f"is {device!r}, not v5e"),
     }
 
     import jax  # noqa: F401  (backend now initialized)
@@ -1181,9 +1249,10 @@ def _run(args, suite):
             tflops, mfu = _train_mfu(r, dtype_name)
             suite["train"].append({"dtype": dtype_name, "batch": bs, "rps": r,
                                    "tflops": round(tflops, 1),
-                                   "mfu_pct": round(mfu, 1)})
+                                   "mfu_pct": None if mfu is None else round(mfu, 1)})
+            mfu_s = "" if mfu is None else f", {mfu:.0f}% MFU"
             print(f"# train step (bs={bs}, {dtype_name}): {r:.1f} rec/s "
-                  f"({tflops:.0f} TF/s, {mfu:.0f}% MFU)", file=sys.stderr)
+                  f"({tflops:.0f} TF/s{mfu_s})", file=sys.stderr)
 
         # per-phase decomposition of the training step (VERDICT r2 item 4)
         suite["train_phases"] = []
@@ -1194,16 +1263,23 @@ def _run(args, suite):
                 print(f"# train phases bs={bs} failed: {e}", file=sys.stderr)
                 continue
             if ph:
-                ph["fwd_mfu_pct"] = round(
-                    100.0 * ph["fwd_rps"] * FWD_FLOPS_PER_REC / V5E_PEAKS["bf16"], 1)
-                ph["fwdbwd_mfu_pct"] = round(
-                    100.0 * ph["fwdbwd_rps"] * TRAIN_FLOPS_PER_REC / V5E_PEAKS["bf16"], 1)
+                if _MFU_DEVICE_OK:
+                    ph["fwd_mfu_pct"] = round(
+                        100.0 * ph["fwd_rps"] * FWD_FLOPS_PER_REC / V5E_PEAKS["bf16"], 1)
+                    ph["fwdbwd_mfu_pct"] = round(
+                        100.0 * ph["fwdbwd_rps"] * TRAIN_FLOPS_PER_REC / V5E_PEAKS["bf16"], 1)
+                else:
+                    ph["fwd_mfu_pct"] = ph["fwdbwd_mfu_pct"] = None
                 suite["train_phases"].append(ph)
+                fwd_m = ("" if ph["fwd_mfu_pct"] is None
+                         else f", {ph['fwd_mfu_pct']:.0f}% MFU")
+                bwd_m = ("" if ph["fwdbwd_mfu_pct"] is None
+                         else f", {ph['fwdbwd_mfu_pct']:.0f}% MFU")
                 print(f"# train phases (bs={bs}, bf16): "
-                      f"fwd {ph['fwd_rps']:.0f} rec/s ({ph['fwd_ms']:.1f} ms, "
-                      f"{ph['fwd_mfu_pct']:.0f}% MFU) | "
-                      f"+bwd {ph['fwdbwd_rps']:.0f} ({ph['bwd_ms']:.1f} ms, "
-                      f"{ph['fwdbwd_mfu_pct']:.0f}% MFU) | "
+                      f"fwd {ph['fwd_rps']:.0f} rec/s ({ph['fwd_ms']:.1f} ms"
+                      f"{fwd_m}) | "
+                      f"+bwd {ph['fwdbwd_rps']:.0f} ({ph['bwd_ms']:.1f} ms"
+                      f"{bwd_m}) | "
                       f"full {ph['step_rps']:.0f} "
                       f"(optimizer {ph['optimizer_ms']:.1f} ms)", file=sys.stderr)
 

@@ -30,6 +30,8 @@ def _run_bench(tmp_path, extra_env):
         "PTBXL_TPU_BENCH_RETRY_DELAY": "0.05",
         # keep the probe but bound it tightly; a bad platform fails fast
         "PTBXL_TPU_BENCH_PROBE_TIMEOUT": "120",
+        # never let a test-suite bench signal a genuinely running bench
+        "PTBXL_TPU_BENCH_PREFLIGHT_KILL": "0",
     })
     env.update(extra_env)
     out = str(tmp_path / "bench_results.json")
@@ -108,9 +110,69 @@ def test_preflight_never_touches_foreign_pids(tmp_path, monkeypatch):
     assert any("left alone" in n for n in notes if str(foreign) in n) or all(
         "terminating" not in n for n in notes
     )
-    # and the pidfile now holds our own pid
+    # and the pidfile now holds our own pid (+ start-time identity token)
     with open(tmp_path / "ptbxl_tpu_bench.pid") as f:
-        assert int(f.read()) == os.getpid()
+        rec = f.read().split()
+    assert int(rec[0]) == os.getpid()
+    assert len(rec) == 2 and rec[1] == bench._proc_starttime(os.getpid())
+
+
+def test_preflight_kill_is_identity_checked_and_gated(tmp_path, monkeypatch):
+    """The stale-bench kill fires only on PID + kernel-start-time match with
+    a bench.py cmdline, and PTBXL_TPU_BENCH_PREFLIGHT_KILL=0 disables it."""
+    import signal
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    pidfile = tmp_path / "ptbxl_tpu_bench.pid"
+
+    def spawn_fake_bench():
+        # argv carries the 'bench.py' marker so /proc cmdline matches;
+        # wait for execve to land (pre-exec the child still shows the
+        # parent's cmdline — a real race observed in-suite)
+        import time
+
+        p = subprocess.Popen(
+            [sys.executable, "-c", "import time; time.sleep(120)", "bench.py"])
+        for _ in range(200):
+            try:
+                with open(f"/proc/{p.pid}/cmdline", "rb") as f:
+                    if b"bench.py" in f.read():
+                        break
+            except OSError:
+                pass
+            time.sleep(0.05)
+        return p
+
+    # (a) kill disabled: the recorded process survives
+    p = spawn_fake_bench()
+    try:
+        with open(pidfile, "w") as f:
+            f.write(f"{p.pid} {bench._proc_starttime(p.pid)}")
+        monkeypatch.setenv("PTBXL_TPU_BENCH_PREFLIGHT_KILL", "0")
+        notes = bench._preflight_chip()
+        assert any("kill disabled" in n for n in notes)
+        assert p.poll() is None, "process was signalled despite KILL=0"
+        # (b) wrong start time (recycled PID): left alone even with kill on
+        monkeypatch.setenv("PTBXL_TPU_BENCH_PREFLIGHT_KILL", "1")
+        with open(pidfile, "w") as f:
+            f.write(f"{p.pid} 12345")
+        notes = bench._preflight_chip()
+        assert any("recycled" in n for n in notes)
+        assert p.poll() is None
+        # (c) full identity match with kill enabled: terminated
+        with open(pidfile, "w") as f:
+            f.write(f"{p.pid} {bench._proc_starttime(p.pid)}")
+        notes = bench._preflight_chip()
+        assert any("terminating" in n for n in notes)
+        assert p.wait(timeout=15) == -signal.SIGTERM
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait()
 
 
 @pytest.mark.slow
@@ -125,6 +187,7 @@ def test_headline_success_path_smoke(tmp_path):
         "PTBXL_TPU_PLATFORM": "cpu",
         "PTBXL_TPU_BENCH_SMOKE": "1",
         "PTBXL_TPU_BENCH_PROBE_TIMEOUT": "0",  # CPU init is reliable
+        "PTBXL_TPU_BENCH_PREFLIGHT_KILL": "0",
     })
     out = str(tmp_path / "bench_results.json")
     r = subprocess.run(

@@ -547,8 +547,13 @@ def compare(budget=0.005, cfg=None, budget_auprc=0.02, budget_f1=0.10):
     if means_mode:
         report["seed_runs"] = {"torch": t_runs, "jax": j_runs}
         for m in _METRIC_KEYS:
-            tv = [r[m] for r in t_runs.values()]
-            jv = [r[m] for r in j_runs.values()]
+            # An arm can have zero aggregatable seed artifacts while the
+            # other has several (e.g. only jax*_ti.json recorded for a
+            # --jax_torch_init config: _ti runs are excluded from means).
+            # np.mean([]) would poison the report with NaN; fall back to
+            # the primary artifact loaded above (n=1 makes this visible).
+            tv = [r[m] for r in t_runs.values()] or [t[_METRIC_KEYS[m]]]
+            jv = [r[m] for r in j_runs.values()] or [j[_METRIC_KEYS[m]]]
             e = metrics[m]
             e["mean"] = {"torch": float(np.mean(tv)), "jax": float(np.mean(jv))}
             e["sd"] = {"torch": float(np.std(tv, ddof=1)) if len(tv) > 1 else None,

@@ -65,6 +65,12 @@ def main():
                     help="fold calibration-set mean quantization error into "
                          "the conv biases")
     args = ap.parse_args()
+    if not args.battery and args.calib == "robust":
+        # without the battery the gate falls back to demo parity (5e-3),
+        # which robust calibration cannot meet BY DESIGN (~1.6e-2 demo
+        # parity) — every row would report a meaningless FAIL
+        ap.error("--battery 0 with --calib robust has no usable gate; "
+                 "either keep the battery (>0) or use --calib demo")
 
     import bench
 
