@@ -43,7 +43,10 @@ def test_inference_rows(suite):
         assert all("tflops" in r and "mfu_pct" in r for r in rows)
         xla_rows = [r for r in rows
                     if r["path"] in ("xla", "xla_int8") and r["dtype"] != "f32"]
-        assert xla_rows and all(0 < r["mfu_pct"] <= 100 for r in xla_rows)
+        if suite["mfu_model"].get("device_matches_peaks", True):
+            assert xla_rows and all(0 < r["mfu_pct"] <= 100 for r in xla_rows)
+        else:  # %-of-peak is only defined against the v5e constants
+            assert all(r["mfu_pct"] is None for r in rows)
 
 
 def test_train_rows(suite):
@@ -52,7 +55,10 @@ def test_train_rows(suite):
     rows = suite["train"]
     assert rows and all(r["rps"] > 0 for r in rows)
     if suite.get("schema") == "ptbxl_tpu_bench_v2":
-        assert all(0 < r["mfu_pct"] <= 100 for r in rows)
+        if suite["mfu_model"].get("device_matches_peaks", True):
+            assert all(0 < r["mfu_pct"] <= 100 for r in rows)
+        else:
+            assert all(r["mfu_pct"] is None for r in rows)
 
 
 def test_int8_battery_gate(suite):
@@ -84,6 +90,29 @@ def test_e2e_keys(suite):
         assert "mfu_model" in suite
     else:
         assert suite["projected_e2e_rps"] > 0
+
+
+def test_mfu_helpers_gate_on_device_kind():
+    """The v5e peak constants must never be applied to another device: the
+    helpers return (tflops, None) unless _set_mfu_device saw a v5e."""
+    import sys
+
+    sys.path.insert(0, HERE)
+    import bench
+
+    try:
+        assert bench._set_mfu_device("TPU v5 lite") is True
+        tf, mfu = bench._inference_mfu(100_000.0, "xla", "bf16")
+        assert tf > 0 and mfu is not None and 0 < mfu <= 100
+        _, mfu_t = bench._train_mfu(20_000.0, "bf16")
+        assert mfu_t is not None and 0 < mfu_t <= 100
+
+        assert bench._set_mfu_device("cpu") is False
+        tf2, mfu2 = bench._inference_mfu(100_000.0, "xla", "bf16")
+        assert tf2 == tf and mfu2 is None  # TFLOP/s is device-independent
+        assert bench._train_mfu(20_000.0, "bf16")[1] is None
+    finally:
+        bench._MFU_DEVICE_OK = False
 
 
 def test_demo_latency_leads_with_onchip(suite):
