@@ -115,6 +115,36 @@ def test_mfu_helpers_gate_on_device_kind():
         bench._MFU_DEVICE_OK = False
 
 
+def test_attach_e2e_detail_attribution():
+    """sustained_e2e_detail must name the binding stage and flag the tunnel
+    (the bare rec/s float reads as a regression vs the reference's ~600-700
+    e2e baseline without it) — now attached in BOTH full and headline mode."""
+    import sys
+
+    sys.path.insert(0, HERE)
+    import bench
+
+    suite = {"pipeline_stages": {"host_warm": 50_000.0, "h2d": 290.0,
+                                 "h2d_MBps": 140.0}}
+    best = {"rps": 139_000.0}
+    bench._attach_e2e_detail(suite, 296.0, best)
+    d = suite["sustained_e2e_detail"]
+    assert d["bottleneck"] == "h2d" and d["tunnel_bound"] is True
+    assert d["rps"] == 296.0 and d["stage_rps"]["device"] == 139_000.0
+
+    # host-bound case on a production host: tunnel flag must clear
+    suite2 = {"pipeline_stages": {"host_warm": 40_000.0, "h2d": 90_000.0,
+                                  "h2d_MBps": 9_000.0}}
+    bench._attach_e2e_detail(suite2, 39_000.0, best)
+    d2 = suite2["sustained_e2e_detail"]
+    assert d2["bottleneck"] == "host_warm" and d2["tunnel_bound"] is False
+
+    # stages probe failed -> no detail, no crash
+    suite3 = {"pipeline_stages": {"error": "boom"}}
+    bench._attach_e2e_detail(suite3, 1.0, best)
+    assert "sustained_e2e_detail" not in suite3
+
+
 def test_demo_latency_leads_with_onchip(suite):
     if suite.get("mode") != "full":
         pytest.skip("headline-mode sidecar")
