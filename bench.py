@@ -32,7 +32,7 @@ NORTH_STAR_RPS = 1000.0
 # PTBXL_TPU_BENCH_SMOKE=1 shrinks the headline sweep to wiring-check sizes so
 # the SUCCESS path (backend acquisition -> sweep -> headline JSON -> sidecar)
 # is testable on CPU; numbers produced under it are meaningless.
-SMOKE = os.environ.get("PTBXL_TPU_BENCH_SMOKE", "") not in ("", "0")
+SMOKE = os.environ.get("PTBXL_TPU_BENCH_SMOKE", "") not in ("", "0", "false")
 
 # ---------------------------------------------------------------------------
 # Analytic FLOPs model (round-3 verdict item 5): hardware-normalized MFU next
@@ -83,8 +83,11 @@ def _inference_mfu(rps, path, dtype_name):
     if not _MFU_DEVICE_OK:
         return tflops, None
     if path == "xla_int8":
-        # default layer set (1, 3) int8, (0, 2) + dense bf16
-        int8_f = CONV_FLOPS_PER_REC[1] + CONV_FLOPS_PER_REC[3]
+        # derive the int8/bf16 FLOP split from the SHIPPING layer set so a
+        # future retune cannot silently skew the roofline
+        from ptbxl_tpu.ops.quant import default_int8_layers
+
+        int8_f = sum(CONV_FLOPS_PER_REC[i] for i in default_int8_layers("ecgcnn"))
         bf16_f = FWD_FLOPS_PER_REC - int8_f
         bound = int8_f / V5E_PEAKS["int8"] + bf16_f / V5E_PEAKS["bf16"]
     elif path == "xla" and dtype_name in ("bf16", "bf16_act"):
@@ -810,10 +813,15 @@ def _attach_e2e_detail(suite, e2e, best):
     stg = suite.get("pipeline_stages")
     if not (isinstance(stg, dict) and "error" not in stg):
         return
-    device_rps = best["rps"] if best else float("nan")
+    # best=None (no parity-passing row) must not leak NaN into the sidecar:
+    # bare NaN is invalid JSON for strict parsers, and min() over a NaN can
+    # never attribute the device stage.  Record None and attribute over the
+    # stages actually measured.
+    device_rps = best["rps"] if best else None
     rates = {"host_warm": stg["host_warm"], "h2d": stg["h2d"],
              "device": device_rps}
-    slowest = min(rates, key=lambda k: rates[k])
+    known = {k: v for k, v in rates.items() if v is not None}
+    slowest = min(known, key=lambda k: known[k])
     suite["sustained_e2e_detail"] = {
         "rps": e2e,
         "bottleneck": slowest,
@@ -858,14 +866,22 @@ def bench_pipeline_e2e(n_records=2048, batch_size=256, epochs=2):
     for b in device_prefetch(src.epoch(0)):
         forward(variables, b["ecg"]).block_until_ready()
 
+    # Count valid records HOST-side, before device_put: np.asarray(b["mask"])
+    # after prefetch would be a blocking D2H round-trip per batch inside the
+    # timed loop (~50 ms each on the tunnel) charged to no pipeline stage.
+    counted = [0]
+
+    def _counting(gen):
+        for hb in gen:
+            counted[0] += int(hb["mask"].sum())
+            yield hb
+
     t0 = time.perf_counter()
-    n_done = 0
     for e in range(1, 1 + epochs):
-        for b in device_prefetch(src.epoch(e)):
+        for b in device_prefetch(_counting(src.epoch(e))):
             out = forward(variables, b["ecg"])
-            n_done += int(np.asarray(b["mask"]).sum())
     np.asarray(out)
-    return n_done / (time.perf_counter() - t0)
+    return counted[0] / (time.perf_counter() - t0)
 
 
 def bench_pipeline_stages(n_records=2048, batch_size=256):
@@ -968,6 +984,17 @@ def _proc_starttime(pid):
         return None
 
 
+def _proc_state(pid):
+    """Single-letter kernel state of `pid` (field 3 of /proc/pid/stat), or
+    None if the process is gone.  'Z' = zombie: already dead, only awaiting
+    reaping by its parent — signalling it again is pointless."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().rsplit(")", 1)[1].split()[0]
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _preflight_chip():
     """Best-effort check that no stale bench process still holds the chip.
 
@@ -989,37 +1016,53 @@ def _preflight_chip():
         "PTBXL_TPU_BENCH_PREFLIGHT_KILL", "1") not in ("0", "false")
     pidfile = os.path.join(tempfile.gettempdir(), "ptbxl_tpu_bench.pid")
     try:
+        old, old_start = 0, None
         if os.path.exists(pidfile):
-            with open(pidfile) as f:
-                rec = f.read().split()
-            old = int(rec[0] or 0) if rec else 0
-            old_start = rec[1] if len(rec) > 1 else None
-            cmdline_path = f"/proc/{old}/cmdline"
-            if old and old != os.getpid() and os.path.exists(cmdline_path):
-                with open(cmdline_path, "rb") as f:
-                    cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
-                same_proc = (old_start is not None
-                             and _proc_starttime(old) == old_start)
-                if not same_proc:
-                    notes.append(f"pidfile pid {old} predates reboot or was "
-                                 "recycled (start-time mismatch); left alone")
-                elif "bench.py" not in cmd:
-                    notes.append(f"pidfile pid {old} is not bench.py; left alone")
-                elif not may_kill:
-                    notes.append(f"stale bench pid {old} detected; kill "
-                                 "disabled (PTBXL_TPU_BENCH_PREFLIGHT_KILL=0)")
-                else:
-                    notes.append(f"terminating stale bench pid {old}")
-                    try:
-                        os.kill(old, signal.SIGTERM)
-                        for _ in range(40):
-                            if not os.path.exists(cmdline_path):
-                                break
-                            time.sleep(0.25)
-                        else:
+            # Parse failures (torn write, manual edit) must NOT abort the
+            # preflight: a corrupt pidfile is treated as no stale pid and
+            # overwritten by the self-registration below.
+            try:
+                with open(pidfile) as f:
+                    rec = f.read().split()
+                old = int(rec[0] or 0) if rec else 0
+                old_start = rec[1] if len(rec) > 1 else None
+            except (OSError, ValueError):
+                notes.append("unreadable pidfile; overwriting")
+        cmdline_path = f"/proc/{old}/cmdline"
+        if old and old != os.getpid() and os.path.exists(cmdline_path):
+            with open(cmdline_path, "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+            same_proc = (old_start is not None
+                         and _proc_starttime(old) == old_start)
+            if not same_proc:
+                notes.append(f"pidfile pid {old} predates reboot or was "
+                             "recycled (start-time mismatch); left alone")
+            elif "bench.py" not in cmd:
+                notes.append(f"pidfile pid {old} is not bench.py; left alone")
+            elif not may_kill:
+                notes.append(f"stale bench pid {old} detected; kill "
+                             "disabled (PTBXL_TPU_BENCH_PREFLIGHT_KILL=0)")
+            else:
+                notes.append(f"terminating stale bench pid {old}")
+                try:
+                    os.kill(old, signal.SIGTERM)
+                    for _ in range(40):
+                        # Done when the identity token no longer matches
+                        # (exited, or PID already recycled — which also
+                        # makes SIGKILL unsafe) or the process is a zombie
+                        # (dead, unreaped: /proc stays, signals are no-ops).
+                        if (_proc_starttime(old) != old_start
+                                or _proc_state(old) == "Z"):
+                            break
+                        time.sleep(0.25)
+                    else:
+                        # Re-verify identity right before escalating: the
+                        # SIGTERM'd process may have exited and its PID been
+                        # recycled during the wait.
+                        if _proc_starttime(old) == old_start:
                             os.kill(old, signal.SIGKILL)
-                    except (ProcessLookupError, PermissionError):
-                        pass
+                except (ProcessLookupError, PermissionError):
+                    pass
         me = f"{os.getpid()} {_proc_starttime(os.getpid()) or ''}".strip()
         with open(pidfile, "w") as f:
             f.write(me)
@@ -1362,7 +1405,9 @@ def _run(args, suite):
 
         stages = _record("pipeline_stages", bench_pipeline_stages)
         if stages and "error" not in stages:
-            device_rps = best["rps"] if best else float("nan")
+            # no parity-passing device row -> roofline is host-only; never
+            # write NaN (invalid strict JSON) into the sidecar
+            device_rps = best["rps"] if best else stages["host_warm"]
             roofline = min(stages["host_warm"], device_rps)
             # explicit ROOFLINE label (an upper bound from per-stage rates,
             # not a measurement — the measured number is sustained_e2e_rps)
@@ -1424,7 +1469,8 @@ def _run(args, suite):
         # the ledger needs the decomposition that says WHICH link binds.
         stg = _record("pipeline_stages", bench_pipeline_stages, n_records=1024)
         if stg and "error" not in stg:
-            device_rps = best["rps"] if best else float("nan")
+            # same NaN guard as the full-mode roofline block above
+            device_rps = best["rps"] if best else stg["host_warm"]
             suite["e2e_roofline_rps"] = min(stg["host_warm"], device_rps)
             print("# pipeline stages rec/s: "
                   f"host_warm {stg['host_warm']:.0f} | "

@@ -117,6 +117,27 @@ def test_preflight_never_touches_foreign_pids(tmp_path, monkeypatch):
     assert len(rec) == 2 and rec[1] == bench._proc_starttime(os.getpid())
 
 
+def test_preflight_recovers_from_corrupt_pidfile(tmp_path, monkeypatch):
+    """A torn/garbage pidfile must not abort the preflight: it is treated as
+    no stale pid and OVERWRITTEN by self-registration, so one bad write can
+    never permanently disable the stale-bench protection."""
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    pidfile = tmp_path / "ptbxl_tpu_bench.pid"
+    with open(pidfile, "w") as f:
+        f.write("not-a-pid garbage\x00")
+    notes = bench._preflight_chip()
+    assert not any("preflight skipped" in n for n in notes)
+    with open(pidfile) as f:
+        rec = f.read().split()
+    assert int(rec[0]) == os.getpid()
+    assert rec[1] == bench._proc_starttime(os.getpid())
+
+
 def test_preflight_kill_is_identity_checked_and_gated(tmp_path, monkeypatch):
     """The stale-bench kill fires only on PID + kernel-start-time match with
     a bench.py cmdline, and PTBXL_TPU_BENCH_PREFLIGHT_KILL=0 disables it."""

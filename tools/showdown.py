@@ -295,6 +295,7 @@ def run_torch(cfg):
 
     model.load_state_dict(best["state"])
     test_m, test_probs = eval_split(x_te, y_te, bs, d_te)
+    _, val_probs = eval_split(x_va, y_va, bs, d_va)  # best-model val probs
     out = {
         "framework": "torch", "config": cfg, "curves": curves,
         "best_epoch": best["epoch"],
@@ -306,6 +307,10 @@ def run_torch(cfg):
         # threshold analyses run offline on recorded artifacts
         "test_probs": np.round(test_probs, 6).tolist() if len(y_te) <= 1000 else None,
         "test_y": y_te.tolist() if len(y_te) <= 1000 else None,
+        # best-model VALIDATION probs: a deployable threshold must be fit on
+        # val (fitting on test is an oracle) — `showdown calib` uses these
+        "val_probs": np.round(val_probs, 6).tolist() if len(y_va) <= 1000 else None,
+        "val_y": y_va.tolist() if len(y_va) <= 1000 else None,
         "wall_s": time.time() - t_start,
     }
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -412,6 +417,7 @@ def run_jax(cfg):
 
     y_true, y_prob, _ = predict_all(best["state"], eval_step, te(0))
     test_m = compute_metrics(y_true, y_prob, threshold=0.5)
+    vy, vp, _ = predict_all(best["state"], eval_step, va(0))  # best-model val
     out = {
         "framework": "jax", "config": cfg, "curves": curves,
         "best_epoch": best["epoch"],
@@ -421,6 +427,10 @@ def run_jax(cfg):
         "test_prob_stats": _prob_stats(y_true, y_prob),
         "test_probs": np.round(y_prob, 6).tolist() if len(y_true) <= 1000 else None,
         "test_y": y_true.tolist() if len(y_true) <= 1000 else None,
+        # best-model VALIDATION probs: a deployable threshold must be fit on
+        # val (fitting on test is an oracle) — `showdown calib` uses these
+        "val_probs": np.round(vp, 6).tolist() if len(vy) <= 1000 else None,
+        "val_y": vy.tolist() if len(vy) <= 1000 else None,
         "wall_s": time.time() - t_start,
         "backend": jax.default_backend(),
     }
@@ -618,6 +628,16 @@ def calibration_analysis(cfg=None):
     F1@0.5 gap is threshold placement (recoverable by the reference's own
     dormant `thresholds: search_per_class` config, implemented opt-in in
     this framework) versus ranking quality (not recoverable).
+
+    Two recovery numbers, deliberately distinct:
+      f1_at_best          threshold argmaxed on TEST — an ORACLE upper bound
+                          (a 1-parameter fit on the evaluation set), kept as
+                          the ceiling of what any threshold could recover;
+      f1_at_val_threshold threshold fit on the best-model VALIDATION probs
+                          and applied to test — the deployable estimate,
+                          matching how the reference's `search_per_class`
+                          would actually be used.  Only artifacts recorded
+                          with `val_probs` (round-4+) carry it.
     """
     import re
 
@@ -637,36 +657,51 @@ def calibration_analysis(cfg=None):
             continue
         p = np.asarray(d["test_probs"], np.float32)
         y = np.asarray(d["test_y"], np.float32)
-        # Candidate thresholds from the probability QUANTILES (plus 0.5):
-        # a fixed grid cannot resolve a compressed distribution (e.g. the
-        # jax AF-hard arm's positive median sits at ~1e-3 — every grid
-        # point lands above almost all probabilities).
-        cand = np.unique(np.concatenate([
-            np.quantile(p.reshape(-1), np.linspace(0.005, 0.995, 199)),
-            [0.5],
-        ]))
-        best_t, best_f1 = 0.5, -1.0
-        for t in cand:
-            # the reference's own F1 semantics (compute_metrics -> sklearn
-            # macro; for the 1-logit AF task that macro-averages BOTH
-            # classes, so near-zero recall still scores ~0.4 via the
-            # negative class — keep the same instrument at every threshold)
-            f1 = compute_metrics(y, p, threshold=float(t))["f1_macro"]
-            if f1 > best_f1:
-                best_t, best_f1 = float(t), float(f1)
+
+        def _search(probs, labels):
+            # Candidate thresholds from the probability QUANTILES (plus
+            # 0.5): a fixed grid cannot resolve a compressed distribution
+            # (e.g. the jax AF-hard arm's positive median sits at ~1e-3 —
+            # every grid point lands above almost all probabilities).
+            cand = np.unique(np.concatenate([
+                np.quantile(probs.reshape(-1), np.linspace(0.005, 0.995, 199)),
+                [0.5],
+            ]))
+            bt, bf = 0.5, -1.0
+            for t in cand:
+                # the reference's own F1 semantics (compute_metrics ->
+                # sklearn macro; for the 1-logit AF task that macro-averages
+                # BOTH classes, so near-zero recall still scores ~0.4 via
+                # the negative class — same instrument at every threshold)
+                f1 = compute_metrics(labels, probs, threshold=float(t))["f1_macro"]
+                if f1 > bf:
+                    bt, bf = float(t), float(f1)
+            return bt, bf
+
+        best_t, best_f1 = _search(p, y)  # test-oracle UPPER BOUND
         pos, neg = p[y > 0.5], p[y <= 0.5]
-        rows.append({
+        row = {
             "file": f, "framework": m.group(1),
             "f1_at_0.5": float(d["test_f1_macro"]),
             "best_threshold": best_t, "f1_at_best": best_f1,
             "pos_median": float(np.median(pos)) if pos.size else None,
             "neg_median": float(np.median(neg)) if neg.size else None,
-        })
+        }
+        if d.get("val_probs"):  # deployable estimate: fit on val, apply to test
+            vt, _ = _search(np.asarray(d["val_probs"], np.float32),
+                            np.asarray(d["val_y"], np.float32))
+            row["val_threshold"] = vt
+            row["f1_at_val_threshold"] = float(
+                compute_metrics(y, p, threshold=vt)["f1_macro"])
+        rows.append(row)
         med = lambda v: "n/a" if v is None else f"{v:.4f}"
-        print(f"{f:34s} f1@0.5 {rows[-1]['f1_at_0.5']:.4f} | "
-              f"best t={best_t:.3g} f1 {best_f1:.4f} | "
-              f"pos med {med(rows[-1]['pos_median'])} "
-              f"neg med {med(rows[-1]['neg_median'])}", flush=True)
+        vcell = (f"val-fit t={row['val_threshold']:.3g} "
+                 f"f1 {row['f1_at_val_threshold']:.4f} | "
+                 if "val_threshold" in row else "")
+        print(f"{f:34s} f1@0.5 {row['f1_at_0.5']:.4f} | "
+              f"oracle t={best_t:.3g} f1 {best_f1:.4f} | {vcell}"
+              f"pos med {med(row['pos_median'])} "
+              f"neg med {med(row['neg_median'])}", flush=True)
     if not rows:
         print("[showdown] no artifacts with stored test_probs for this arm "
               "(only runs recorded after round 4 carry them)")
@@ -674,9 +709,13 @@ def calibration_analysis(cfg=None):
     for fw in ("torch", "jax"):
         sel = [r for r in rows if r["framework"] == fw]
         if sel:
+            withval = [r for r in sel if "f1_at_val_threshold" in r]
+            vcell = (f" -> mean f1@val-fit "
+                     f"{np.mean([r['f1_at_val_threshold'] for r in withval]):.4f} "
+                     f"(n={len(withval)})" if withval else "")
             print(f"[{fw}] mean f1@0.5 {np.mean([r['f1_at_0.5'] for r in sel]):.4f} "
-                  f"-> mean f1@best {np.mean([r['f1_at_best'] for r in sel]):.4f} "
-                  f"(n={len(sel)})", flush=True)
+                  f"-> mean f1@oracle {np.mean([r['f1_at_best'] for r in sel]):.4f} "
+                  f"(n={len(sel)}){vcell}", flush=True)
     return rows
 
 
