@@ -50,17 +50,31 @@ def test_showdown_phases_end_to_end(tmp_path, monkeypatch):
 
     sd.run_jax(cfg)
     assert os.path.exists(tmp_path / "jax.json")
+    jrec = json.load(open(tmp_path / "jax.json"))
+    # round-4+ calibration instrumentation: full test AND best-model val
+    # probs must land in the artifact (small splits — under the 1000 cap)
+    assert len(jrec["test_probs"]) == cfg["n_test"]
+    assert len(jrec["val_probs"]) == cfg["n_val"]
+    assert len(jrec["val_y"]) == cfg["n_val"]
 
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference checkout not available")
     pytest.importorskip("torch")
     sd.run_torch(cfg)
+    trec = json.load(open(tmp_path / "torch.json"))
+    assert len(trec["val_probs"]) == cfg["n_val"]
 
     rc = sd.compare(budget=1.0, cfg=cfg)  # mechanics, not convergence
     assert rc == 0
     report = json.load(open(tmp_path / "report.json"))
     for k in ("torch", "jax", "delta_auroc", "within_budget", "config"):
         assert k in report
+
+    # calib analysis over these artifacts must produce the val-fitted
+    # deployable estimate alongside the test-oracle bound
+    rows = sd.calibration_analysis(cfg)
+    assert rows and all("f1_at_val_threshold" in r for r in rows)
+    assert all(0.0 <= r["f1_at_val_threshold"] <= 1.0 for r in rows)
 
 
 def test_synth_demo_deterministic_and_correlated():
