@@ -314,7 +314,7 @@ def bench_inference(full=False):
             ("xla", "highest", "f32", [512, 2048]),
             ("xla", None, "bf16", [512, 2048, 8192]),
             ("xla", None, "bf16_act", [8192, 16384]),
-            ("xla_int8", None, "int8", [8192, 12288, 16384]),
+            ("xla_int8", None, "int8", [8192, 11264, 12288, 16384]),
             ("pallas", None, "f32", [512, 2048]),
             ("hybrid", None, "bf16", [8192]),
         ]
@@ -328,7 +328,9 @@ def bench_inference(full=False):
         # table, incl. the documented Pallas/hybrid rows, is under --full)
         configs = [
             ("xla", None, "bf16_act", [16384]),
-            ("xla_int8", None, "int8", [8192, 12288]),
+            # 11264 (= 128*88) measured ~0.3% above 12288 repeatably; keep
+            # both — the sweep reports the best row.
+            ("xla_int8", None, "int8", [8192, 11264, 12288]),
         ]
 
     best = None
