@@ -385,7 +385,9 @@ def bench_inference(full=False):
     return best, results
 
 
-def bench_multimodal(batch_size=8192, iters=10, precision="default"):
+def bench_multimodal(batch_size=12288, iters=10, precision="default"):
+    # bs 12288 measured best for BOTH mm paths (int8 126.6k vs 123.8k @8192,
+    # bf16 92.3k vs 91.5k); sweep notes in docs/ARCHITECTURE.md.
     """Multimodal (FiLM) model throughput: bf16 activations, or the PTQ
     int8 backbone (precision='int8', ops/quant.py) on top of them."""
     import jax
@@ -1298,11 +1300,11 @@ def _run(args, suite):
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
         mm = _record("multimodal_bf16_rps", bench_multimodal)
         if mm is not None:
-            print(f"# multimodal (FiLM) inference bf16_act bs=8192: {mm:.1f} rec/s",
+            print(f"# multimodal (FiLM) inference bf16_act bs=12288: {mm:.1f} rec/s",
                   file=sys.stderr)
         mm8 = _record("multimodal_int8_rps", bench_multimodal, precision="int8")
         if mm8 is not None:
-            print(f"# multimodal (FiLM) inference int8 bs=8192: {mm8:.1f} rec/s",
+            print(f"# multimodal (FiLM) inference int8 bs=12288: {mm8:.1f} rec/s",
                   file=sys.stderr)
 
         # training throughput: f32 parity config + bf16 batch-size sweep
