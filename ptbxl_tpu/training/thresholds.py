@@ -22,23 +22,40 @@ def search_thresholds_per_class(
 ) -> np.ndarray:
     """F1-maximizing threshold per class.
 
+    Candidate thresholds default to each class's probability QUANTILES
+    (plus 0.5): a fixed grid cannot resolve compressed probability
+    distributions — e.g. a hard binary task where the positive-class median
+    sits at ~1e-3, so every fixed grid point lands above almost all
+    probabilities and the search degenerates to all-negative predictions
+    (the round-4 showdown-calibration finding, docs/PARITY.md).
+
+    Deployable workflow: fit on VALIDATION probabilities and apply to test —
+    fitting on the evaluation set itself is a 1-parameter oracle.
+
     Args:
         y_true: [N, C] binary labels
         y_prob: [N, C] probabilities
-        grid: candidate thresholds (default 0.05..0.95 step 0.05)
+        grid: explicit candidate thresholds (overrides the quantile
+            candidates; e.g. ``np.arange(0.05, 0.951, 0.05)`` for the
+            legacy fixed grid)
     Returns:
         [C] thresholds; classes with no positives fall back to 0.5
     """
-    if grid is None:
-        grid = np.arange(0.05, 0.951, 0.05)
     n_classes = y_true.shape[1]
     out = np.full(n_classes, 0.5, dtype=np.float64)
     for c in range(n_classes):
         yt = y_true[:, c]
         if yt.sum() == 0 or yt.sum() == len(yt):
             continue
+        if grid is None:
+            cand = np.unique(np.concatenate([
+                np.quantile(y_prob[:, c], np.linspace(0.005, 0.995, 199)),
+                [0.5],
+            ]))
+        else:
+            cand = np.asarray(grid, dtype=np.float64)
         best_f1, best_t = -1.0, 0.5
-        for t in grid:
+        for t in cand:
             f1 = f1_score(yt, (y_prob[:, c] >= t).astype(int), zero_division=0)
             if f1 > best_f1:
                 best_f1, best_t = f1, float(t)

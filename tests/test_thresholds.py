@@ -28,6 +28,30 @@ def test_finds_shifted_optimum():
     assert f1_srch >= f1_def
 
 
+def test_quantile_candidates_resolve_compressed_distribution():
+    """A compressed probability distribution (positive median ~1e-3, the
+    AF-hard showdown shape) is unreachable for the legacy fixed 0.05-step
+    grid — every grid point sits above nearly all probabilities, so the
+    searched threshold predicts all-negative.  The quantile candidates
+    (default since round 4) must recover a useful threshold."""
+    rng = np.random.default_rng(1)
+    n = 4000
+    y = (rng.uniform(size=(n, 1)) > 0.9).astype(np.float32)
+    # positives ~2e-3, negatives ~2e-4: perfectly separable, all below 0.05
+    p = np.where(y[:, 0] > 0, 2e-3, 2e-4) * np.exp(0.3 * rng.standard_normal(n))
+    probs = p[:, None].astype(np.float64)
+
+    from sklearn.metrics import f1_score
+
+    th_grid = search_thresholds_per_class(y, probs, grid=np.arange(0.05, 0.951, 0.05))
+    th_q = search_thresholds_per_class(y, probs)
+    f1_grid = f1_score(y[:, 0], (probs[:, 0] >= th_grid[0]).astype(int), zero_division=0)
+    f1_q = f1_score(y[:, 0], (probs[:, 0] >= th_q[0]).astype(int), zero_division=0)
+    assert f1_grid == 0.0  # the failure mode the quantile candidates fix
+    assert th_q[0] < 0.05
+    assert f1_q > 0.9
+
+
 def test_degenerate_classes_fall_back():
     y = np.zeros((10, 2), np.float32)
     y[:, 1] = 1.0
