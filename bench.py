@@ -99,6 +99,30 @@ def _inference_mfu(rps, path, dtype_name):
     return tflops, 100.0 * rps * bound
 
 
+MM_EXTRA_FLOPS_PER_REC = (2 * 5 * 64 + 2 * 64 * 64  # DemoEncoder MLP
+                          + 2 * 64 * 512)            # FiLM generator
+MM_FWD_FLOPS_PER_REC = FWD_FLOPS_PER_REC + MM_EXTRA_FLOPS_PER_REC
+
+
+def _mm_inference_mfu(rps, precision):
+    """(tflops, mfu_pct or None) for a multimodal row — same roofline
+    convention as _inference_mfu, with the FiLM/demo-MLP FLOPs added and the
+    int8 split taken from the multimodal shipping layer set ((3,))."""
+    tflops = rps * MM_FWD_FLOPS_PER_REC / 1e12
+    if not _MFU_DEVICE_OK:
+        return tflops, None
+    if precision == "int8":
+        from ptbxl_tpu.ops.quant import default_int8_layers
+
+        int8_f = sum(CONV_FLOPS_PER_REC[i]
+                     for i in default_int8_layers("multimodal"))
+        bound = (int8_f / V5E_PEAKS["int8"]
+                 + (MM_FWD_FLOPS_PER_REC - int8_f) / V5E_PEAKS["bf16"])
+    else:
+        bound = MM_FWD_FLOPS_PER_REC / V5E_PEAKS["bf16"]
+    return tflops, 100.0 * rps * bound
+
+
 def _train_mfu(rps, dtype_name):
     tflops = rps * TRAIN_FLOPS_PER_REC / 1e12
     if not _MFU_DEVICE_OK:
@@ -1298,14 +1322,18 @@ def _run(args, suite):
                   f"bs={r['batch']:>5} -> {r['rps']:>10.1f} rec/s "
                   f"({r['tflops']:.0f} TF/s{mfu}, prob_err={r['prob_err']:.2e}, "
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
-        mm = _record("multimodal_bf16_rps", bench_multimodal)
-        if mm is not None:
-            print(f"# multimodal (FiLM) inference bf16_act bs=12288: {mm:.1f} rec/s",
-                  file=sys.stderr)
-        mm8 = _record("multimodal_int8_rps", bench_multimodal, precision="int8")
-        if mm8 is not None:
-            print(f"# multimodal (FiLM) inference int8 bs=12288: {mm8:.1f} rec/s",
-                  file=sys.stderr)
+        for key, prec in (("multimodal_bf16_rps", "default"),
+                          ("multimodal_int8_rps", "int8")):
+            mm = _record(key, bench_multimodal, precision=prec)
+            if mm is None or isinstance(mm, dict):
+                continue
+            tflops, mfu = _mm_inference_mfu(mm, prec)
+            suite[key.replace("_rps", "_detail")] = {
+                "rps": mm, "tflops": round(tflops, 1),
+                "mfu_pct": None if mfu is None else round(mfu, 1)}
+            mfu_s = "" if mfu is None else f", {mfu:.0f}% MFU"
+            print(f"# multimodal (FiLM) inference {prec} bs=12288: {mm:.1f} "
+                  f"rec/s ({tflops:.0f} TF/s{mfu_s})", file=sys.stderr)
 
         # training throughput: f32 parity config + bf16 batch-size sweep
         # (the bf16 configuration is convergence-gated by test_learning[bf16];
