@@ -18,6 +18,7 @@ step throughput, Grad-CAM demo p50 latency, per-config table).
 
 import argparse
 import glob
+import inspect
 import json
 import os
 import sys
@@ -83,15 +84,9 @@ def _inference_mfu(rps, path, dtype_name):
     if not _MFU_DEVICE_OK:
         return tflops, None
     if path == "xla_int8":
-        # derive the int8/bf16 FLOP split from the SHIPPING layer set so a
-        # future retune cannot silently skew the roofline
-        from ptbxl_tpu.ops.quant import default_int8_layers
-
-        int8_f = sum(CONV_FLOPS_PER_REC[i] for i in default_int8_layers("ecgcnn"))
-        bf16_f = FWD_FLOPS_PER_REC - int8_f
-        bound = int8_f / V5E_PEAKS["int8"] + bf16_f / V5E_PEAKS["bf16"]
+        bound = _roofline_bound(FWD_FLOPS_PER_REC, int8_arch="ecgcnn")
     elif path == "xla" and dtype_name in ("bf16", "bf16_act"):
-        bound = FWD_FLOPS_PER_REC / V5E_PEAKS["bf16"]
+        bound = _roofline_bound(FWD_FLOPS_PER_REC)
     elif path == "xla" and dtype_name == "f32":
         bound = FWD_FLOPS_PER_REC / V5E_PEAKS["f32_highest"]
     else:
@@ -104,6 +99,19 @@ MM_EXTRA_FLOPS_PER_REC = (2 * 5 * 64 + 2 * 64 * 64  # DemoEncoder MLP
 MM_FWD_FLOPS_PER_REC = FWD_FLOPS_PER_REC + MM_EXTRA_FLOPS_PER_REC
 
 
+def _roofline_bound(total_flops, int8_arch=None):
+    """Per-record time bound (s) vs v5e dense peaks.  With ``int8_arch``,
+    the int8/bf16 FLOP split is derived from that architecture's SHIPPING
+    layer set so a future retune cannot silently skew the roofline; the
+    remainder (and everything, when int8_arch is None) is bound at bf16."""
+    int8_f = 0
+    if int8_arch is not None:
+        from ptbxl_tpu.ops.quant import default_int8_layers
+
+        int8_f = sum(CONV_FLOPS_PER_REC[i] for i in default_int8_layers(int8_arch))
+    return int8_f / V5E_PEAKS["int8"] + (total_flops - int8_f) / V5E_PEAKS["bf16"]
+
+
 def _mm_inference_mfu(rps, precision):
     """(tflops, mfu_pct or None) for a multimodal row — same roofline
     convention as _inference_mfu, with the FiLM/demo-MLP FLOPs added and the
@@ -111,15 +119,9 @@ def _mm_inference_mfu(rps, precision):
     tflops = rps * MM_FWD_FLOPS_PER_REC / 1e12
     if not _MFU_DEVICE_OK:
         return tflops, None
-    if precision == "int8":
-        from ptbxl_tpu.ops.quant import default_int8_layers
-
-        int8_f = sum(CONV_FLOPS_PER_REC[i]
-                     for i in default_int8_layers("multimodal"))
-        bound = (int8_f / V5E_PEAKS["int8"]
-                 + (MM_FWD_FLOPS_PER_REC - int8_f) / V5E_PEAKS["bf16"])
-    else:
-        bound = MM_FWD_FLOPS_PER_REC / V5E_PEAKS["bf16"]
+    bound = _roofline_bound(
+        MM_FWD_FLOPS_PER_REC,
+        int8_arch="multimodal" if precision == "int8" else None)
     return tflops, 100.0 * rps * bound
 
 
@@ -1322,17 +1324,18 @@ def _run(args, suite):
                   f"bs={r['batch']:>5} -> {r['rps']:>10.1f} rec/s "
                   f"({r['tflops']:.0f} TF/s{mfu}, prob_err={r['prob_err']:.2e}, "
                   f"parity={'ok' if r['parity_ok'] else 'FAIL'})", file=sys.stderr)
-        for key, prec in (("multimodal_bf16_rps", "default"),
-                          ("multimodal_int8_rps", "int8")):
+        mm_bs = inspect.signature(bench_multimodal).parameters["batch_size"].default
+        for key, prec, label in (("multimodal_bf16_rps", "default", "bf16_act"),
+                                 ("multimodal_int8_rps", "int8", "int8")):
             mm = _record(key, bench_multimodal, precision=prec)
-            if mm is None or isinstance(mm, dict):
+            if mm is None:
                 continue
             tflops, mfu = _mm_inference_mfu(mm, prec)
             suite[key.replace("_rps", "_detail")] = {
                 "rps": mm, "tflops": round(tflops, 1),
                 "mfu_pct": None if mfu is None else round(mfu, 1)}
             mfu_s = "" if mfu is None else f", {mfu:.0f}% MFU"
-            print(f"# multimodal (FiLM) inference {prec} bs=12288: {mm:.1f} "
+            print(f"# multimodal (FiLM) inference {label} bs={mm_bs}: {mm:.1f} "
                   f"rec/s ({tflops:.0f} TF/s{mfu_s})", file=sys.stderr)
 
         # training throughput: f32 parity config + bf16 batch-size sweep

@@ -106,11 +106,18 @@ def test_mfu_helpers_gate_on_device_kind():
         assert tf > 0 and mfu is not None and 0 < mfu <= 100
         _, mfu_t = bench._train_mfu(20_000.0, "bf16")
         assert mfu_t is not None and 0 < mfu_t <= 100
+        tf_mm, mfu_mm = bench._mm_inference_mfu(90_000.0, "default")
+        assert tf_mm > 0 and mfu_mm is not None and 0 < mfu_mm <= 100
+        _, mfu_mm8 = bench._mm_inference_mfu(120_000.0, "int8")
+        assert mfu_mm8 is not None and 0 < mfu_mm8 <= 100
 
         assert bench._set_mfu_device("cpu") is False
         tf2, mfu2 = bench._inference_mfu(100_000.0, "xla", "bf16")
         assert tf2 == tf and mfu2 is None  # TFLOP/s is device-independent
         assert bench._train_mfu(20_000.0, "bf16")[1] is None
+        tf_mm2, mfu_mm2 = bench._mm_inference_mfu(90_000.0, "default")
+        assert tf_mm2 == tf_mm and mfu_mm2 is None
+        assert bench._mm_inference_mfu(120_000.0, "int8")[1] is None
     finally:
         bench._MFU_DEVICE_OK = False
 
