@@ -15,6 +15,20 @@ import numpy as np
 from sklearn.metrics import f1_score
 
 
+def quantile_candidates(probs: np.ndarray, positives: Optional[np.ndarray] = None,
+                        n: int = 199) -> np.ndarray:
+    """Candidate thresholds for one class: quantiles of ``probs`` + 0.5 +
+    (when given) every positive sample's probability.  All-sample quantiles
+    alone under-resolve rare classes — with prevalence below ~1/n the finest
+    quantile still sits far into the negative mass, so the search can't
+    isolate the positives; including the positive values themselves makes the
+    search exact for them at negligible cost."""
+    parts = [np.quantile(probs, np.linspace(0.005, 0.995, n)), [0.5]]
+    if positives is not None and positives.size:
+        parts.append(positives)
+    return np.unique(np.concatenate(parts))
+
+
 def search_thresholds_per_class(
     y_true: np.ndarray,
     y_prob: np.ndarray,
@@ -23,7 +37,8 @@ def search_thresholds_per_class(
     """F1-maximizing threshold per class.
 
     Candidate thresholds default to each class's probability QUANTILES
-    (plus 0.5): a fixed grid cannot resolve compressed probability
+    plus 0.5 plus every positive sample's probability (rare classes sit
+    between quantiles): a fixed grid cannot resolve compressed probability
     distributions — e.g. a hard binary task where the positive-class median
     sits at ~1e-3, so every fixed grid point lands above almost all
     probabilities and the search degenerates to all-negative predictions
@@ -48,10 +63,8 @@ def search_thresholds_per_class(
         if yt.sum() == 0 or yt.sum() == len(yt):
             continue
         if grid is None:
-            cand = np.unique(np.concatenate([
-                np.quantile(y_prob[:, c], np.linspace(0.005, 0.995, 199)),
-                [0.5],
-            ]))
+            cand = quantile_candidates(y_prob[:, c],
+                                       positives=y_prob[yt > 0.5, c])
         else:
             cand = np.asarray(grid, dtype=np.float64)
         best_f1, best_t = -1.0, 0.5

@@ -220,7 +220,7 @@ def run_torch(cfg):
     from ptbxl_tpu.training.metrics import compute_metrics
 
     arch = cfg.get("arch", "baseline")
-    train_seed = cfg.get("train_seed") or cfg["seed"]
+    train_seed = _train_seed(cfg)
     torch.manual_seed(train_seed)
     np.random.seed(train_seed)
 
@@ -379,7 +379,7 @@ def run_jax(cfg):
                 yield batch
         return epoch
 
-    train_seed = cfg.get("train_seed") or cfg["seed"]
+    train_seed = _train_seed(cfg)
     if multimodal:
         model, variables = build_multimodal(
             num_labels=5, seed=train_seed,
@@ -448,14 +448,31 @@ def run_jax(cfg):
 _ARCH_TAG = {"baseline": "", "multimodal": "_mm", "af": "_af"}
 
 
+def _train_seed(cfg):
+    """Model-init/shuffle seed: --train_seed when given (0 is a valid seed),
+    else --seed."""
+    ts = cfg.get("train_seed")
+    return cfg["seed"] if ts is None else ts
+
+
+def _variant_base(cfg):
+    """arch/variant part of an artifact name — everything a seed family
+    shares.  ``_quick`` keeps smoke-sized runs in their own family so they
+    can neither clobber a full run's artifact nor leak into its gated seed
+    means."""
+    tag = _ARCH_TAG[cfg.get("arch", "baseline")]
+    tag += "_hard" if cfg.get("hard") else ""
+    tag += "_quick" if cfg.get("quick") else ""
+    return tag
+
+
 def _tag(cfg, framework=None):
     """Artifact-name tag.  ``_ti`` (torch-init) marks only the JAX arm:
     ``jax_torch_init`` does not change the torch run at all, and tagging the
-    torch file too would write a duplicate torch baseline that
-    _collect_seed_runs excludes from the mean (round-3 advisor finding)."""
-    tag = _ARCH_TAG[cfg.get("arch", "baseline")]
-    tag += "_hard" if cfg.get("hard") else ""
-    if cfg.get("train_seed"):
+    torch file too would write a duplicate torch baseline outside the torch
+    seed family (round-3 advisor finding)."""
+    tag = _variant_base(cfg)
+    if cfg.get("train_seed") is not None:
         tag += f"_ts{cfg['train_seed']}"
     if cfg.get("jax_torch_init") and framework != "torch":
         tag += "_ti"
@@ -468,22 +485,50 @@ _METRIC_KEYS = {"auroc": "test_auroc_macro", "auprc": "test_auprc_macro",
                 "f1": "test_f1_macro"}
 
 
-def _collect_seed_runs(framework, variant_base):
-    """All per-seed result files for one arm: {filename: {metric: value}}.
+def _collect_seed_runs(framework, variant_base, ti=False):
+    """Per-seed result files for one arm: {seed_tag: run}, each run carrying
+    its file name, stored config, and the three gated metrics.
 
-    Matches ``{framework}{base}.json`` and ``..._tsNN.json``; the
-    init-matched jax arm (``_ti``) is tracked separately in PARITY.md.
+    Matches ``{framework}{base}.json`` and ``..._tsNN.json``.  With
+    ``ti=True`` the torch-init family (``..._ti.json``) is collected instead,
+    so a ``--jax_torch_init`` compare gates the arm that actually ran —
+    non-ti and ti jax runs are never pooled together.
     """
     import re
 
-    pat = re.compile(rf"^{framework}{variant_base}(_ts\d+)?\.json$")
+    suffix = "_ti" if ti else ""
+    pat = re.compile(rf"^{framework}{variant_base}(_ts\d+)?{suffix}\.json$")
     out = {}
     for f in sorted(os.listdir(OUT_DIR)) if os.path.isdir(OUT_DIR) else []:
-        if pat.match(f):
+        m = pat.match(f)
+        if m:
             with open(os.path.join(OUT_DIR, f)) as fh:
                 d = json.load(fh)
-            out[f] = {m: d[k] for m, k in _METRIC_KEYS.items()}
+            out[m.group(1) or ""] = {
+                "file": f, "config": d.get("config", {}),
+                "metrics": {k: d[v] for k, v in _METRIC_KEYS.items()}}
     return out
+
+
+# Keys two runs must agree on to be comparable in a gated mean: the task
+# definition (dataset sizes/seed/noise variant, T), the optimization recipe
+# (batch/lr/wd) and the epoch budget.  train_seed differs by design (that IS
+# the seed family) and jax_torch_init differs by arm.
+_COMPARABILITY_KEYS = ("n_train", "n_val", "n_test", "T", "batch_size",
+                       "epochs", "lr", "weight_decay", "seed", "hard")
+
+
+def _config_mismatch(a, b):
+    """{key: [a_val, b_val]} for comparability keys that differ ({} if
+    comparable).  ``hard`` is bool-normalized (older artifacts stored None)."""
+    diffs = {}
+    for k in _COMPARABILITY_KEYS:
+        va, vb = a.get(k), b.get(k)
+        if k == "hard":
+            va, vb = bool(va), bool(vb)
+        if va != vb:
+            diffs[k] = [va, vb]
+    return diffs
 
 
 def _welch_t(a, b):
@@ -536,6 +581,11 @@ def compare(budget=0.005, cfg=None, budget_auprc=0.02, budget_f1=0.10):
     for fw, blob in (("torch", t), ("jax", j)):
         if "test_prob_stats" in blob:
             report[fw]["test_prob_stats"] = blob["test_prob_stats"]
+    mism = _config_mismatch(t.get("config", {}), j.get("config", {}))
+    if mism:
+        report["config_mismatch"] = mism
+        print(f"[showdown] WARNING: primary artifacts are not comparable "
+              f"(stored configs differ): {mism}", file=sys.stderr, flush=True)
 
     metrics = {}
     for m, key in _METRIC_KEYS.items():
@@ -549,21 +599,44 @@ def compare(budget=0.005, cfg=None, budget_auprc=0.02, budget_f1=0.10):
     # Multi-seed aggregation: on noisy variants single-seed deltas measure
     # seed variance, not framework quality — when several seeds exist per
     # arm, the means comparison is the verdict (for every metric).
+    # Pooling is PAIRED: a seed run enters the gated means only when both
+    # arms recorded it AND their stored configs agree on every
+    # comparability key — a smoke-sized or re-parameterized stray artifact
+    # must not leak into the verdict (quick runs also live in their own
+    # `_quick` name family, so they can't collide with full artifacts).
+    # Epoch budgets may differ ACROSS seeds (campaign batches), never
+    # between the two arms of one seed.
     c = cfg or {}
-    base = _ARCH_TAG[c.get("arch", "baseline")] + ("_hard" if c.get("hard") else "")
+    base = _variant_base(c)
     t_runs = _collect_seed_runs("torch", base)
-    j_runs = _collect_seed_runs("jax", base)
-    means_mode = len(t_runs) > 1 or len(j_runs) > 1
+    j_runs = _collect_seed_runs("jax", base, ti=bool(c.get("jax_torch_init")))
+    paired, dropped = {}, []
+    for s in sorted(set(t_runs) | set(j_runs)):
+        tr, jr = t_runs.get(s), j_runs.get(s)
+        if tr is None or jr is None:
+            dropped.append({"seed_tag": s or "(base)", "reason": "unpaired",
+                            "file": (tr or jr)["file"]})
+            continue
+        mism = _config_mismatch(tr["config"], jr["config"])
+        if mism:
+            dropped.append({"seed_tag": s or "(base)",
+                            "reason": f"arm config mismatch: {mism}",
+                            "file": f"{tr['file']} vs {jr['file']}"})
+            continue
+        paired[s] = (tr, jr)
+    if dropped:
+        report["seed_runs_dropped"] = dropped
+        for dr in dropped:
+            print(f"[showdown] WARNING: excluded from seed means: {dr}",
+                  file=sys.stderr, flush=True)
+    means_mode = len(paired) > 1
     if means_mode:
-        report["seed_runs"] = {"torch": t_runs, "jax": j_runs}
+        report["seed_runs"] = {
+            "torch": {p[0]["file"]: p[0]["metrics"] for p in paired.values()},
+            "jax": {p[1]["file"]: p[1]["metrics"] for p in paired.values()}}
         for m in _METRIC_KEYS:
-            # An arm can have zero aggregatable seed artifacts while the
-            # other has several (e.g. only jax*_ti.json recorded for a
-            # --jax_torch_init config: _ti runs are excluded from means).
-            # np.mean([]) would poison the report with NaN; fall back to
-            # the primary artifact loaded above (n=1 makes this visible).
-            tv = [r[m] for r in t_runs.values()] or [t[_METRIC_KEYS[m]]]
-            jv = [r[m] for r in j_runs.values()] or [j[_METRIC_KEYS[m]]]
+            tv = [p[0]["metrics"][m] for p in paired.values()]
+            jv = [p[1]["metrics"][m] for p in paired.values()]
             e = metrics[m]
             e["mean"] = {"torch": float(np.mean(tv)), "jax": float(np.mean(jv))}
             e["sd"] = {"torch": float(np.std(tv, ddof=1)) if len(tv) > 1 else None,
@@ -641,10 +714,13 @@ def calibration_analysis(cfg=None):
     """
     import re
 
-    from ptbxl_tpu.training.metrics import compute_metrics
+    from sklearn.metrics import f1_score
+
+    from ptbxl_tpu.training.thresholds import (
+        apply_thresholds, quantile_candidates, search_thresholds_per_class)
 
     c = cfg or {}
-    base = _ARCH_TAG[c.get("arch", "baseline")] + ("_hard" if c.get("hard") else "")
+    base = _variant_base(c)
     pat = re.compile(rf"^(torch|jax){base}(_ts\d+)?(_ti)?\.json$")
     rows = []
     for f in sorted(os.listdir(OUT_DIR)) if os.path.isdir(OUT_DIR) else []:
@@ -658,22 +734,31 @@ def calibration_analysis(cfg=None):
         p = np.asarray(d["test_probs"], np.float32)
         y = np.asarray(d["test_y"], np.float32)
 
+        def _f1(labels, probs, t):
+            # the reference's own F1 instrument (compute_metrics' F1 line:
+            # sklearn macro at a fixed cutoff; for the 1-logit AF task that
+            # macro-averages BOTH classes, so near-zero recall still scores
+            # ~0.4 via the negative class) — without recomputing the
+            # threshold-independent AUROC/AUPRC per candidate
+            return float(f1_score(labels, (probs >= t).astype(int),
+                                  average="macro", zero_division=0))
+
+        def _f1_at(labels, probs, per_class_t):
+            # same instrument, per-class cutoffs
+            return float(f1_score(labels, apply_thresholds(probs, per_class_t),
+                                  average="macro", zero_division=0))
+
         def _search(probs, labels):
-            # Candidate thresholds from the probability QUANTILES (plus
-            # 0.5): a fixed grid cannot resolve a compressed distribution
-            # (e.g. the jax AF-hard arm's positive median sits at ~1e-3 —
-            # every grid point lands above almost all probabilities).
-            cand = np.unique(np.concatenate([
-                np.quantile(probs.reshape(-1), np.linspace(0.005, 0.995, 199)),
-                [0.5],
-            ]))
+            # Candidate thresholds: probability quantiles + 0.5 + every
+            # positive sample's probability (shared with the library's
+            # search_thresholds_per_class — a fixed grid cannot resolve a
+            # compressed distribution, e.g. the jax AF-hard arm's positive
+            # median sits at ~1e-3).  One GLOBAL threshold, all classes.
+            cand = quantile_candidates(
+                probs.reshape(-1), positives=probs[labels > 0.5].reshape(-1))
             bt, bf = 0.5, -1.0
             for t in cand:
-                # the reference's own F1 semantics (compute_metrics ->
-                # sklearn macro; for the 1-logit AF task that macro-averages
-                # BOTH classes, so near-zero recall still scores ~0.4 via
-                # the negative class — same instrument at every threshold)
-                f1 = compute_metrics(labels, probs, threshold=float(t))["f1_macro"]
+                f1 = _f1(labels, probs, float(t))
                 if f1 > bf:
                     bt, bf = float(t), float(f1)
             return bt, bf
@@ -688,16 +773,29 @@ def calibration_analysis(cfg=None):
             "neg_median": float(np.median(neg)) if neg.size else None,
         }
         if d.get("val_probs"):  # deployable estimate: fit on val, apply to test
-            vt, _ = _search(np.asarray(d["val_probs"], np.float32),
-                            np.asarray(d["val_y"], np.float32))
-            row["val_threshold"] = vt
-            row["f1_at_val_threshold"] = float(
-                compute_metrics(y, p, threshold=vt)["f1_macro"])
+            vp = np.asarray(d["val_probs"], np.float32)
+            vy = np.asarray(d["val_y"], np.float32)
+            if p.ndim == 2 and p.shape[1] > 1:
+                # multi-class: PER-CLASS thresholds, exactly how the
+                # reference's dormant `search_per_class` would be deployed
+                # (sklearn reads a [N,1] column as two-class binary, so the
+                # AF task keeps the global two-class-macro search below)
+                vt = search_thresholds_per_class(vy, vp)
+                row["val_threshold"] = [round(float(x), 6) for x in vt]
+                row["f1_at_val_threshold"] = _f1_at(y, p, vt)
+            else:
+                vt, _ = _search(vp, vy)
+                row["val_threshold"] = vt
+                row["f1_at_val_threshold"] = _f1(y, p, vt)
         rows.append(row)
         med = lambda v: "n/a" if v is None else f"{v:.4f}"
-        vcell = (f"val-fit t={row['val_threshold']:.3g} "
-                 f"f1 {row['f1_at_val_threshold']:.4f} | "
-                 if "val_threshold" in row else "")
+        if "val_threshold" in row:
+            vth = row["val_threshold"]
+            vts = (f"{vth:.3g}" if np.isscalar(vth)
+                   else "[" + ",".join(f"{x:.3g}" for x in vth) + "]")
+            vcell = f"val-fit t={vts} f1 {row['f1_at_val_threshold']:.4f} | "
+        else:
+            vcell = ""
         print(f"{f:34s} f1@0.5 {row['f1_at_0.5']:.4f} | "
               f"oracle t={best_t:.3g} f1 {best_f1:.4f} | {vcell}"
               f"pos med {med(row['pos_median'])} "
@@ -756,9 +854,13 @@ def summary():
 
 def make_config(args):
     if args.quick:
+        # quick=True routes artifacts into their own `_quick` name family
+        # (_variant_base) so a smoke run can never clobber or pool with a
+        # full run's artifacts
         return {"n_train": 96, "n_val": 48, "n_test": 64, "T": 1250,
                 "seed": args.seed, "batch_size": 16, "epochs": 2,
                 "lr": 1.5e-3, "weight_decay": 1e-4, "hard": args.hard,
+                "quick": True,
                 "train_seed": args.train_seed, "arch": args.arch,
                 "jax_torch_init": args.jax_torch_init}
     return {"n_train": args.n_train, "n_val": args.n_val, "n_test": args.n_test,
@@ -804,6 +906,9 @@ def main():
                    help="F1@0.5 mean-deficit budget (threshold calibration; "
                         "sized from the measured per-seed F1 sd ~0.13)")
     args = p.parse_args()
+    if args.epochs < 1:
+        p.error("--epochs must be >= 1 (the training loop selects the best "
+                "epoch; zero epochs leaves no model to evaluate)")
     cfg = make_config(args)
 
     if args.cmd == "summary":
