@@ -401,8 +401,16 @@ def bench_inference(full=False):
                           file=sys.stderr)
                 continue
             tflops, mfu = _inference_mfu(rps, path, dtype_name)
+            # parity_gate names WHICH accuracy gate admitted the row (VERDICT
+            # r4 weak #5): int8 rows are gated at the 519-signal battery max
+            # (robust calibration trades in-distribution tightness for OOD
+            # safety), everything else at the demo-pack 5e-3 — so cross-round
+            # ledger comparisons of the headline are apples-to-apples.
+            gate_name = ("battery_max" if path == "xla_int8"
+                         else "demo_pack_parity")
             row = dict(path=path, precision=str(precision), dtype=dtype_name,
                        batch=bs, rps=rps, prob_err=worst, parity_ok=ok,
+                       parity_gate={"name": gate_name, "tol": tol},
                        tflops=round(tflops, 1),
                        mfu_pct=None if mfu is None else round(mfu, 1))
             results.append(row)
@@ -550,14 +558,6 @@ def bench_demo_latency(n=20):
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return c
 
-    np.asarray(many(x))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(many(x))
-        ts.append(time.perf_counter() - t0)
-    onchip = float(np.median(ts) / iters * 1000.0)
-
     # all-5-classes CAMs in one pass (features computed once, stacked one-hot
     # cotangents through a single vmapped vjp — see interpret/grad_cam.py)
     inner_multi = cam_fn._multi_fn
@@ -571,13 +571,23 @@ def bench_demo_latency(n=20):
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return c
 
+    # Interleave single/all-5 trials round-robin and take medians over 5
+    # repeats: the round-4 sidecar shipped all5 < single by 2.4% because two
+    # back-to-back median-of-3 blocks can straddle a tenancy-noise step on a
+    # shared dev tunnel (VERDICT r4 weak #1).  Interleaving exposes both
+    # variants to the same noise regime; 5 reps tightens the median.
+    np.asarray(many(x))
     np.asarray(many_multi(x))
-    ts = []
-    for _ in range(3):
+    ts_single, ts_all5 = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(many(x))
+        ts_single.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(many_multi(x))
-        ts.append(time.perf_counter() - t0)
-    onchip_5class = float(np.median(ts) / iters * 1000.0)
+        ts_all5.append(time.perf_counter() - t0)
+    onchip = float(np.median(ts_single) / iters * 1000.0)
+    onchip_5class = float(np.median(ts_all5) / iters * 1000.0)
     return p50_dispatch, onchip, onchip_5class
 
 
@@ -810,26 +820,209 @@ def bench_host_scaling(n_records=2048, batch_size=256, threads=None):
     T, L = cache.n_samples, cache.n_leads
 
     rng = np.random.default_rng(0)
-    rows = []
-    for k in threads:
-        # decode: raw .dat -> int16 ADC, k threads (page cache warm)
+
+    def decode_pass(k):
         t0 = time.perf_counter()
         for s in range(0, n, batch_size):
             chunk = dat_paths[s:s + batch_size]
             _, ok = native.decode_batch_fmt16(chunk, T, L, n_threads=k)
             assert ok.all()
-        decode_rps = n / (time.perf_counter() - t0)
+        return n / (time.perf_counter() - t0)
 
-        # gather: warm-memmap shuffled row gather, k threads
+    def gather_pass(k):
         order = rng.permutation(n)
         t0 = time.perf_counter()
         for s in range(0, n, batch_size):
             idx = order[s:s + batch_size].astype(np.int64)
             native.gather_rows(cache._adc, idx, n_threads=k)
-        gather_rps = n / (time.perf_counter() - t0)
-        rows.append({"threads": k, "decode_rps": decode_rps,
-                     "gather_rps": gather_rps})
-    return {"cpu_count": ncpu, "rows": rows}
+        return n / (time.perf_counter() - t0)
+
+    # Methodology (VERDICT r4 weak #2 / next-round item 3): the round-4 table
+    # ran each thread count ONCE, sequentially, with no warmup — first-touch
+    # page faults and cache warming all landed on t=1, so a 1-core host
+    # recorded 2.4-3.5x "scaling".  Now: one untimed warmup pass, then >=3
+    # repeats with thread counts interleaved round-robin, medians reported.
+    warm_k = threads[0]
+    decode_pass(warm_k)
+    gather_pass(warm_k)
+
+    repeats = 3
+    dec = {k: [] for k in threads}
+    gat = {k: [] for k in threads}
+    for _ in range(repeats):
+        for k in threads:
+            dec[k].append(decode_pass(k))
+            gat[k].append(gather_pass(k))
+    rows = [{"threads": k,
+             "decode_rps": float(np.median(dec[k])),
+             "gather_rps": float(np.median(gat[k]))}
+            for k in threads]
+    # On a 1-core host thread scaling is unobservable by construction: mark
+    # the table non-evidence so superlinear noise can never enter the ledger
+    # as a scaling claim again.  A multi-core driver host flips this to true.
+    return {"cpu_count": ncpu, "rows": rows, "repeats": repeats,
+            "method": "warmup + interleaved round-robin, median of repeats",
+            "valid": ncpu > 1,
+            "note": None if ncpu > 1 else
+            "cpu_count==1: thread scaling unobservable; table is non-evidence"}
+
+
+# Evidence-based attainable rates for the ceiling model (VERDICT r4 item 4).
+# These are MEASURED bests on this chip, not datasheet peaks:
+#  - bf16: 174 TF/s = XLA's in-model deep-conv rate (88% of the 197 TF/s
+#    packed peak; docs/ARCHITECTURE.md round-2 decomposition, L3+L4+tail)
+#  - int8: 234.7 TOP/s = XLA int8 conv rate in the chained harness
+#    (tools/probe_int8.py; v5e datasheet peak 394 — XLA attains ~60%)
+#  - HBM: 819 GB/s v5e datasheet bandwidth (minimal-traffic bounds only)
+ATTAINED_BF16 = 174e12
+ATTAINED_INT8 = 234.7e12
+HBM_BPS = 819e9
+
+
+def bench_ceiling(batch_size=11264, iters=None):
+    """Single-chip attainable ceiling for the SHIPPING inference config
+    (VERDICT r4 item 4: 'state the single-chip ceiling').
+
+    Measures a per-block decomposition of the shipping int8 model (progressive
+    prefixes: zscore | +block0..3 | +tail, each scan-chained in one jit at the
+    headline batch), then bounds each block by the best rate EVER MEASURED for
+    its geometry class on this chip: deep bf16 at 174 TF/s, XLA int8 at 234.7
+    TOP/s, lane occupancy min(Cout,128)/128 for the narrow early layers, and a
+    minimal-fused-HBM-traffic bound at 819 GB/s — whichever binds.  Each bound
+    is ratcheted to min(bound, measured): a measurement IS attainable, so the
+    model can never claim headroom below zero.  ceiling_rps = 1/Σ bounds;
+    per-block headroom names the next optimization target (or certifies there
+    isn't one)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.models.ecg_cnn import ECGCNN
+    from ptbxl_tpu.models.params_io import load_npz
+    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+    from ptbxl_tpu.ops.quant import (
+        _conv_stack,
+        make_quantized_forward,
+        quantize_model,
+        split_meta,
+    )
+
+    if SMOKE:
+        batch_size, iters = 32, 2
+    if iters is None:
+        iters = 10
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.path.join(here, "outputs/ecg_baseline/ckpts/ecg_baseline_best.npz")
+    if os.path.exists(ckpt):
+        variables, _ = load_npz(ckpt)
+    else:
+        m0 = ECGCNN(feat_dim=256, num_labels=5)
+        variables = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 12)))
+    q = quantize_model(variables, arch="ecgcnn")
+    arrs, n_blocks, int8_layers = split_meta(q)
+    full_fwd = make_quantized_forward(n_blocks, int8_layers, arch="ecgcnn")
+
+    def prefix_fn(k):
+        if k == n_blocks + 1:  # full model incl. GAP/proj/head tail
+            def f(a, x):
+                return jnp.sum(full_fwd(a, x).astype(jnp.float32))
+        else:
+            def f(a, x):
+                h = zscore_per_lead_batch(x.astype(jnp.float32))
+                if k > 0:
+                    h = _conv_stack(a, h, k, int8_layers)
+                else:
+                    # the real consumer (block0's bf16 conv) reads the zscore
+                    # output as bf16 — XLA fuses that cast into the zscore
+                    # write, so P0 must too or it measures a phantom f32
+                    # materialization (+0.45 us/rec, measured)
+                    h = h.astype(jnp.bfloat16)
+                # sum in the native dtype and cast the SCALAR: casting the
+                # tensor first forces the same phantom pass
+                return jnp.sum(h).astype(jnp.float32)
+        return f
+
+    batch = jax.block_until_ready(
+        jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (batch_size, 5000, 12), jnp.bfloat16))())
+
+    def timed(k):
+        f = prefix_fn(k)
+
+        @jax.jit
+        def many(a, x):
+            def body(c, _):
+                s = f(a, x * (1.0 + c * 1e-30))
+                return s.astype(jnp.float32), s
+            _, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return sums
+
+        np.asarray(many(arrs, batch))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(many(arrs, batch))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / (batch_size * iters)  # s/record
+
+    prefix_t = [timed(k) for k in range(n_blocks + 2)]  # P0..P5
+    meas = {"zscore": prefix_t[0]}
+    for i in range(n_blocks):
+        meas[f"block{i}"] = max(prefix_t[i + 1] - prefix_t[i], 1e-12)
+    meas["tail"] = max(prefix_t[n_blocks + 1] - prefix_t[n_blocks], 1e-12)
+
+    # analytic per-block attainable bounds (s/record)
+    cins = [12, 32, 64, 128]
+    couts = [32, 64, 128, 256]
+    bounds = {}  # name -> (seconds/record, binding-resource kind)
+    # zscore: read the bf16 wire batch + write bf16 for block0 (fused ideal)
+    bounds["zscore"] = (5000 * 12 * (2 + 2) / HBM_BPS, "memory")
+    for i in range(n_blocks):
+        t_in = 5000 >> i
+        is_int8 = i in int8_layers
+        bytes_in = 1 if is_int8 else 2
+        bytes_out = 1 if (i + 1) in int8_layers else 2
+        occ = min(couts[i], 128) / 128.0
+        rate = (ATTAINED_INT8 if is_int8 else ATTAINED_BF16) * occ
+        compute_t = CONV_FLOPS_PER_REC[i] / rate
+        mem_t = (t_in * cins[i] * bytes_in
+                 + (t_in // 2) * couts[i] * bytes_out) / HBM_BPS
+        bounds[f"block{i}"] = ((compute_t, "compute") if compute_t >= mem_t
+                               else (mem_t, "memory"))
+    # tail: GAP reads the last pooled activation; dense FLOPs are negligible
+    bounds["tail"] = ((5000 >> n_blocks) * couts[-1] * 2 / HBM_BPS, "memory")
+
+    rows = []
+    total_bound = total_meas = 0.0
+    for name in meas:
+        analytic, kind = bounds[name]
+        # ratchet: a measurement IS attainable, so the per-block bound can
+        # never sit above what the chip already did
+        b = min(analytic, meas[name])
+        rows.append({
+            "block": name,
+            "measured_us": round(meas[name] * 1e6, 3),
+            "bound_us": round(b * 1e6, 3),
+            "bound_kind": "measured" if b < analytic else kind,
+            "headroom_us": round((meas[name] - b) * 1e6, 3),
+        })
+        total_bound += b
+        total_meas += meas[name]
+    ceiling_rps = 1.0 / total_bound
+    decomposition_rps = 1.0 / total_meas
+    return {
+        "config": {"int8_layers": list(int8_layers), "batch": batch_size,
+                   "iters": iters},
+        "rates_assumed": {"bf16_attained_tfs": ATTAINED_BF16 / 1e12,
+                          "int8_attained_tops": ATTAINED_INT8 / 1e12,
+                          "hbm_GBps": HBM_BPS / 1e9,
+                          "occupancy": "min(Cout,128)/128"},
+        "blocks": rows,
+        "decomposition_rps": decomposition_rps,
+        "ceiling_rps": ceiling_rps,
+        "pct_of_ceiling_decomposition": round(
+            100.0 * total_bound / total_meas, 1),
+    }
 
 
 def _attach_e2e_detail(suite, e2e, best):
@@ -991,6 +1184,81 @@ def bench_pipeline_stages(n_records=2048, batch_size=256):
 
 
 HEADLINE_METRIC = "ecg_inference_records_per_sec_per_chip"
+
+
+def _extract_perf_keys(suite):
+    """Flatten a sidecar's regression-guarded metrics to
+    ``{name: (value, direction)}``; direction +1 = higher-is-better
+    (throughput), -1 = lower-is-better (latency)."""
+    out = {}
+    h = suite.get("headline") or {}
+    if isinstance(h.get("value"), (int, float)):
+        out["headline_rps"] = (h["value"], +1)
+    inf = suite.get("inference") or {}
+    best = inf.get("best")
+    if isinstance(best, dict) and isinstance(best.get("rps"), (int, float)):
+        out["inference_best_rps"] = (best["rps"], +1)
+    rows = inf.get("rows") or []
+    bf16 = [r for r in rows if r.get("path") == "xla"
+            and r.get("dtype") in ("bf16", "bf16_act") and r.get("parity_ok")]
+    if bf16:
+        out["inference_best_bf16_rps"] = (max(r["rps"] for r in bf16), +1)
+    for r in suite.get("train") or []:
+        if isinstance(r, dict) and isinstance(r.get("rps"), (int, float)):
+            out[f"train_{r['dtype']}_bs{r['batch']}_rps"] = (r["rps"], +1)
+    lat = suite.get("demo_latency")
+    if isinstance(lat, dict):
+        for k in ("onchip_ms", "onchip_all5_ms"):
+            if isinstance(lat.get(k), (int, float)):
+                out[f"demo_{k}"] = (lat[k], -1)
+    for k in ("multimodal_bf16_rps", "multimodal_int8_rps"):
+        if isinstance(suite.get(k), (int, float)):
+            out[k] = (suite[k], +1)
+    return out
+
+
+def _check_regressions(suite, out_path, threshold_pct=5.0):
+    """Perf-regression gate (VERDICT r4 item 2): compare every key row of this
+    run against the previously committed sidecar at ``out_path`` and attach a
+    ``regressions`` block, warning visibly past ±threshold in the bad
+    direction.  Round 4 shipped a +21% on-chip latency drift silently because
+    nothing diffed new numbers against the pinned ones; this makes the ledger
+    self-policing."""
+    try:
+        with open(out_path) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        suite["regressions"] = {
+            "baseline_unix_time": None, "threshold_pct": threshold_pct,
+            "rows": [], "flagged": [],
+            "note": "no prior sidecar at this path to compare against"}
+        return
+    old_keys = _extract_perf_keys(old)
+    rows, flagged = [], []
+    for name, (new_v, direction) in sorted(_extract_perf_keys(suite).items()):
+        if name not in old_keys or not old_keys[name][0]:
+            continue
+        old_v = old_keys[name][0]
+        delta_pct = 100.0 * (new_v - old_v) / old_v
+        regressed = (-delta_pct * direction) > threshold_pct
+        rows.append({"row": name, "old": old_v, "new": new_v,
+                     "delta_pct": round(delta_pct, 2), "regressed": regressed})
+        if regressed:
+            flagged.append(name)
+            unit_hint = "ms" if name.endswith("_ms") else "rec/s"
+            print(f"# PERF REGRESSION {name}: {old_v:.4g} -> {new_v:.4g} "
+                  f"{unit_hint} ({delta_pct:+.1f}%)", file=sys.stderr)
+    suite["regressions"] = {
+        "baseline_unix_time": old.get("unix_time"),
+        "baseline_mode": old.get("mode"),
+        "threshold_pct": threshold_pct, "rows": rows, "flagged": flagged}
+    if flagged:
+        print(f"# regression gate: {len(flagged)} row(s) regressed past "
+              f"{threshold_pct}% vs the committed sidecar — investigate "
+              "before committing this refresh", file=sys.stderr)
+    elif rows:
+        print(f"# regression gate: {len(rows)} rows compared vs committed "
+              f"sidecar, none regressed past {threshold_pct}%", file=sys.stderr)
 
 
 def _write_sidecar(suite, out_path):
@@ -1388,6 +1656,27 @@ def _run(args, suite):
                       f"full {ph['step_rps']:.0f} "
                       f"(optimizer {ph['optimizer_ms']:.1f} ms)", file=sys.stderr)
 
+        # single-chip attainable ceiling (VERDICT r4 item 4): per-block
+        # decomposition of the shipping config vs evidence-based bounds
+        ceil = _record("ceiling", bench_ceiling)
+        if ceil and "error" not in ceil:
+            if best:
+                ceil["headline_rps"] = best["rps"]
+                ceil["pct_of_ceiling"] = round(
+                    100.0 * best["rps"] / ceil["ceiling_rps"], 1)
+            print(f"# ceiling (shipping int8 {ceil['config']['int8_layers']}, "
+                  f"bs {ceil['config']['batch']}): attainable "
+                  f"{ceil['ceiling_rps']:.0f} rec/s; decomposition "
+                  f"{ceil['decomposition_rps']:.0f} rec/s "
+                  f"({ceil['pct_of_ceiling_decomposition']:.0f}% of ceiling)"
+                  + (f"; headline at {ceil['pct_of_ceiling']:.0f}%"
+                     if "pct_of_ceiling" in ceil else ""), file=sys.stderr)
+            for r in ceil["blocks"]:
+                print(f"#  {r['block']:<7} measured {r['measured_us']:>7.3f} us"
+                      f" | bound {r['bound_us']:>7.3f} us ({r['bound_kind']})"
+                      f" | headroom {r['headroom_us']:>7.3f} us",
+                      file=sys.stderr)
+
         # int8 distributional battery (ops/quant_eval.py): error quantiles +
         # decision-flip rate.  Since round 4 the DEFAULT calibration is the
         # robust preset, so default_calib is the hard-gated row; demo_calib
@@ -1458,7 +1747,9 @@ def _run(args, suite):
 
         hs = _record("host_scaling", bench_host_scaling)
         if hs and "error" not in hs:
-            print(f"# host thread scaling (cpu_count={hs['cpu_count']}):",
+            tag = "" if hs.get("valid") else " [NON-EVIDENCE: 1-core host]"
+            print(f"# host thread scaling (cpu_count={hs['cpu_count']}, "
+                  f"median of {hs.get('repeats', 1)} interleaved reps){tag}:",
                   file=sys.stderr)
             for r in hs["rows"]:
                 print(f"#  threads={r['threads']:>2} decode {r['decode_rps']:>8.0f} rec/s"
@@ -1497,7 +1788,9 @@ def _run(args, suite):
             cells = " | ".join(
                 f"t={r['threads']} decode {r['decode_rps']:.0f}"
                 f" gather {r['gather_rps']:.0f}" for r in hs["rows"])
-            print(f"# host thread scaling rec/s (cpu_count={hs['cpu_count']}): "
+            tag = "" if hs.get("valid") else " [NON-EVIDENCE: 1-core host]"
+            print(f"# host thread scaling rec/s (cpu_count={hs['cpu_count']}, "
+                  f"median of {hs.get('repeats', 1)} interleaved reps){tag}: "
                   f"{cells}", file=sys.stderr)
         # Per-stage pipeline rates in headline mode too (small fixture): the
         # sustained number below is tunnel-H2D-bound in this environment, so
@@ -1531,7 +1824,10 @@ def _run(args, suite):
         "vs_baseline": round(value / NORTH_STAR_RPS, 3),
         "tflops": best.get("tflops") if best else None,
         "mfu_pct": best.get("mfu_pct") if best else None,
+        # which accuracy gate admitted the headline row (VERDICT r4 weak #5)
+        "parity_gate": best.get("parity_gate") if best else None,
     }
+    _check_regressions(suite, args.out)
     _write_sidecar(suite, args.out)
     print(json.dumps(suite["headline"]))
 
