@@ -126,8 +126,11 @@ def test_compare_deficit_gating(tmp_path, monkeypatch):
     cfg = {"n_train": 1, "n_val": 1, "n_test": 1, "T": 8, "seed": 0,
            "batch_size": 1, "epochs": 1, "lr": 1e-3, "weight_decay": 0.0}
 
-    def write(name, auroc):
-        blob = {"framework": name.split("_")[0], "config": cfg,
+    def write(name, auroc, train_seed=None):
+        # real artifacts store the effective train seed in config
+        # (tools/showdown.py run_jax/run_torch); fabricate the same shape
+        blob = {"framework": name.split("_")[0],
+                "config": dict(cfg, train_seed=train_seed),
                 "curves": [], "best_epoch": 0, "test_auroc_macro": auroc,
                 "test_auprc_macro": auroc, "test_f1_macro": auroc,
                 "wall_s": 1.0}
@@ -146,8 +149,34 @@ def test_compare_deficit_gating(tmp_path, monkeypatch):
     assert sd.compare(budget=0.005, cfg=cfg) == 1
 
     # means mode: extra seeds pull the jax mean above torch -> pass
-    write("torch_ts43", 0.80)
-    write("jax_ts43", 0.84)
+    write("torch_ts43", 0.80, train_seed=43)
+    write("jax_ts43", 0.84, train_seed=43)
     assert sd.compare(budget=0.005, cfg=cfg) == 0
     rep = json.load(open(tmp_path / "report.json"))
     assert rep["deficit_vs_torch_means"] == 0.0
+
+
+def test_collect_seed_runs_dedups_effective_seed(tmp_path, monkeypatch):
+    """Round-4 advisor finding: a base artifact (effective train seed =
+    --seed) and an explicit _tsN artifact with the SAME numeric seed must
+    collapse to one seed in the paired means, the explicitly tagged one."""
+    sd = _load_showdown()
+    monkeypatch.setattr(sd, "OUT_DIR", str(tmp_path))
+    cfg = {"n_train": 1, "n_val": 1, "n_test": 1, "T": 8, "seed": 42,
+           "batch_size": 1, "epochs": 1, "lr": 1e-3, "weight_decay": 0.0}
+
+    def write(name, auroc, train_seed):
+        blob = {"framework": "jax", "config": dict(cfg, train_seed=train_seed),
+                "curves": [], "best_epoch": 0, "test_auroc_macro": auroc,
+                "test_auprc_macro": auroc, "test_f1_macro": auroc,
+                "wall_s": 1.0}
+        with open(tmp_path / f"{name}.json", "w") as f:
+            json.dump(blob, f)
+
+    write("jax", 0.80, train_seed=None)       # effective seed 42
+    write("jax_ts42", 0.90, train_seed=42)    # SAME effective seed, tagged
+    write("jax_ts43", 0.85, train_seed=43)
+    runs = sd._collect_seed_runs("jax", "")
+    assert set(runs) == {"_ts42", "_ts43"}    # 2 seeds, not 3
+    # the explicitly tagged artifact wins the collision
+    assert runs["_ts42"]["file"] == "jax_ts42.json"

@@ -501,12 +501,33 @@ def _collect_seed_runs(framework, variant_base, ti=False):
     out = {}
     for f in sorted(os.listdir(OUT_DIR)) if os.path.isdir(OUT_DIR) else []:
         m = pat.match(f)
-        if m:
-            with open(os.path.join(OUT_DIR, f)) as fh:
-                d = json.load(fh)
-            out[m.group(1) or ""] = {
-                "file": f, "config": d.get("config", {}),
-                "metrics": {k: d[v] for k, v in _METRIC_KEYS.items()}}
+        if not m:
+            continue
+        with open(os.path.join(OUT_DIR, f)) as fh:
+            d = json.load(fh)
+        cfg = d.get("config", {})
+        # Key by the EFFECTIVE train seed from the stored config, not the
+        # filename tag (round-4 advisor finding): a base artifact (no _tsNN,
+        # effective seed = --seed) and an explicit _tsN artifact with the
+        # same numeric seed must not enter the means as two seeds.  Fall
+        # back to the filename tag for pre-config artifacts.
+        eff = cfg.get("train_seed")
+        if eff is None:
+            eff = cfg.get("seed")
+        key = f"_ts{eff}" if eff is not None else (m.group(1) or "")
+        run = {"file": f, "config": cfg,
+               "metrics": {k: d[v] for k, v in _METRIC_KEYS.items()}}
+        if key in out:
+            # collision = same effective seed twice; keep the explicitly
+            # tagged artifact (its name states intent) and say so
+            keep_new = bool(m.group(1))
+            print(f"[showdown] WARNING: {f} and {out[key]['file']} resolve "
+                  f"to the same effective train seed ({key.lstrip('_')}); "
+                  f"keeping {'the explicitly tagged' if keep_new else 'the first'} one.",
+                  file=sys.stderr)
+            if not keep_new:
+                continue
+        out[key] = run
     return out
 
 
