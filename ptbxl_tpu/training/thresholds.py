@@ -79,3 +79,21 @@ def search_thresholds_per_class(
 def apply_thresholds(y_prob: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
     """[N, C] probs, [C] thresholds -> [N, C] int predictions."""
     return (y_prob >= np.asarray(thresholds)[None, :]).astype(int)
+
+
+def fit_on_val_report(
+    y_true_val: np.ndarray,
+    y_prob_val: np.ndarray,
+    y_true_test: np.ndarray,
+    y_prob_test: np.ndarray,
+):
+    """Deployable threshold-search workflow for the eval CLIs (round-5
+    VERDICT item 6): fit per-class F1 thresholds on VALIDATION predictions,
+    apply to test.  Returns ``(thresholds [C], fitted test metrics dict)``.
+    Fitting on the evaluation set itself would be a 1-parameter oracle —
+    hence the val split."""
+    from .metrics import compute_metrics
+
+    thr = search_thresholds_per_class(y_true_val, y_prob_val)
+    fitted = compute_metrics(y_true_test, y_prob_test, threshold=thr)
+    return thr, fitted

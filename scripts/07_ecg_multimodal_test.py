@@ -36,6 +36,13 @@ def main():
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--out_csv", type=str, required=True)
     parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument(
+        "--thresholds", type=str, default=None, choices=["search_per_class"],
+        help="opt-in: additionally fit per-class F1 thresholds on the "
+             "VALIDATION split and print the fitted test metrics alongside "
+             "the fixed --threshold ones.  The reference declares this "
+             "config key but never implements it (configs/base.yaml:23); "
+             "the CSV y_pred_ columns stay at --threshold for parity.")
     args = parser.parse_args()
 
     cfg = C.load_config(args.config)
@@ -79,6 +86,24 @@ def main():
     print("[ECG-MM][TEST] metrics:")
     for k, v in metrics.items():
         print(f"  {k}: {v}")
+
+    if args.thresholds == "search_per_class":
+        from ptbxl_tpu.training.thresholds import fit_on_val_report
+
+        val_ds = PTBXLECGMultimodalDataset(base_dir, split="val",
+                                           classes=classes,
+                                           normalize=normalize)
+        vsrc = BatchSource(val_ds, int(train_cfg.get("batch_size", 64)),
+                           shuffle=False)
+        yt_v, yp_v, _ = predict_all(state, eval_step,
+                                    device_prefetch(vsrc.epoch(0)),
+                                    loss_mode="per_batch")
+        thr, fitted = fit_on_val_report(yt_v, yp_v, y_true, y_prob)
+        print("[ECG-MM][TEST] val-fitted per-class thresholds:",
+              {c: round(float(t), 4) for c, t in zip(classes, thr)})
+        print("[ECG-MM][TEST] metrics @ val-fitted thresholds:")
+        for k, v in fitted.items():
+            print(f"  {k}: {v}")
 
     os.makedirs(os.path.dirname(args.out_csv) or ".", exist_ok=True)
     df_dict = {}

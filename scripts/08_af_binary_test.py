@@ -34,6 +34,13 @@ def main():
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--out_csv", type=str, required=True)
     parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument(
+        "--thresholds", type=str, default=None, choices=["search_per_class"],
+        help="opt-in: additionally fit the AF F1 threshold on the "
+             "VALIDATION split and print the fitted test metrics alongside "
+             "the fixed --threshold ones.  The reference declares this "
+             "config key but never implements it (configs/base.yaml:23); "
+             "the CSV y_pred_AF column stays at --threshold for parity.")
     args = parser.parse_args()
 
     print("[INFO] Running AF test script...")
@@ -74,6 +81,19 @@ def main():
     print("[AF][TEST] metrics:")
     for k, v in metrics.items():
         print(f"  {k}: {v}")
+
+    if args.thresholds == "search_per_class":
+        from ptbxl_tpu.training.thresholds import fit_on_val_report
+
+        val_ds = PTBXLAFDataset(base_dir, split="val", normalize=normalize)
+        vsrc = BatchSource(val_ds, int(train_cfg["batch_size"]), shuffle=False)
+        yt_v, yp_v, _ = predict_all(state, eval_step,
+                                    device_prefetch(vsrc.epoch(0)))
+        thr, fitted = fit_on_val_report(yt_v, yp_v, y_true, y_prob)
+        print("[AF][TEST] val-fitted threshold:", round(float(thr[0]), 4))
+        print("[AF][TEST] metrics @ val-fitted threshold:")
+        for k, v in fitted.items():
+            print(f"  {k}: {v}")
 
     os.makedirs(os.path.dirname(args.out_csv) or ".", exist_ok=True)
     y_true_flat = y_true.reshape(-1)

@@ -52,6 +52,36 @@ def test_quantile_candidates_resolve_compressed_distribution():
     assert f1_q > 0.9
 
 
+def test_fit_on_val_report_uses_val_not_test():
+    """fit_on_val_report (round 5, the eval-CLI workflow) must fit thresholds
+    on the VALIDATION split and only APPLY them to test — fitting on test
+    would be a 1-parameter oracle.  Construct val/test with the same
+    depressed-probability geometry: the val-fitted threshold must transfer
+    and beat fixed 0.5 on test."""
+    from sklearn.metrics import f1_score
+
+    from ptbxl_tpu.training.thresholds import fit_on_val_report
+
+    rng = np.random.default_rng(2)
+
+    def make(n, seed_shift):
+        y = (rng.uniform(size=(n, 2)) > 0.8).astype(np.float32)
+        # probs systematically depressed: optimum well below 0.5
+        p = np.clip(y * 0.3 + 0.05 + 0.03 * rng.standard_normal((n, 2)), 0, 1)
+        return y, p
+
+    yv, pv = make(1500, 0)
+    yt, pt = make(1500, 1)
+    thr, fitted = fit_on_val_report(yv, pv, yt, pt)
+    assert thr.shape == (2,)
+    assert np.all(thr < 0.5)  # depressed probs -> low thresholds
+    f1_fixed = f1_score(yt, (pt >= 0.5).astype(int), average="macro",
+                        zero_division=0)
+    assert fitted["f1_macro"] > f1_fixed
+    # fitted metrics keep the standard compute_metrics schema
+    assert {"auroc_macro", "auprc_macro", "f1_macro"} <= set(fitted)
+
+
 def test_degenerate_classes_fall_back():
     y = np.zeros((10, 2), np.float32)
     y[:, 1] = 1.0

@@ -71,14 +71,24 @@ def test_full_eval_merge_analyse_plot_workflow(cfg_path, workdir):
 
     # 06/07/08 — per-task test scripts
     r6 = _run("06_ecg_baseline_test.py",
-              ["--config", cfg_path, "--ckpt", CKPT_BL, "--out_csv", base_csv], workdir)
+              ["--config", cfg_path, "--ckpt", CKPT_BL, "--out_csv", base_csv,
+               "--thresholds", "search_per_class"], workdir)
     assert "[Baseline][TEST] metrics:" in r6.stdout
+    # opt-in val-fitted threshold report (round 5; the reference declares the
+    # config key but never implements it) prints ALONGSIDE the fixed-threshold
+    # metrics; the CSV y_pred_ columns stay at --threshold (checked below)
+    assert "[Baseline][TEST] val-fitted per-class thresholds:" in r6.stdout
+    assert "[Baseline][TEST] metrics @ val-fitted thresholds:" in r6.stdout
     r7 = _run("07_ecg_multimodal_test.py",
-              ["--config", cfg_path, "--ckpt", CKPT_MM, "--out_csv", mm_csv], workdir)
+              ["--config", cfg_path, "--ckpt", CKPT_MM, "--out_csv", mm_csv,
+               "--thresholds", "search_per_class"], workdir)
     assert "[ECG-MM][TEST] metrics:" in r7.stdout
+    assert "[ECG-MM][TEST] metrics @ val-fitted thresholds:" in r7.stdout
     r8 = _run("08_af_binary_test.py",
-              ["--config", cfg_path, "--ckpt", CKPT_AF, "--out_csv", af_csv], workdir)
+              ["--config", cfg_path, "--ckpt", CKPT_AF, "--out_csv", af_csv,
+               "--thresholds", "search_per_class"], workdir)
     assert "[AF][TEST] metrics:" in r8.stdout
+    assert "[AF][TEST] metrics @ val-fitted threshold:" in r8.stdout
 
     # column schemas match the reference byte layout
     dfb = pd.read_csv(base_csv)
