@@ -30,7 +30,10 @@ import numpy as np
 from ptbxl_tpu.models.ecg_cnn import ECGCNN
 from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
 from ptbxl_tpu.models.params_io import load_checkpoint
-from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+from ptbxl_tpu.ops.preprocess import (
+    zscore_per_lead_batch,
+    zscore_per_lead_batch_onepass,
+)
 
 # Engine crossover: the fused single-kernel path wins per-CALL serving below
 # this chunk size (one launch vs ~10, everything VMEM-resident); the XLA path
@@ -192,13 +195,19 @@ class Predictor:
                 if engine == "pallas":
                     raise
 
+        # perf precisions normalize with the fused one-pass moment form
+        # (single HBM read for both moments — tools/probe_zscore.py); the
+        # 'highest' parity path keeps the exact two-pass reference form
+        _zs = (zscore_per_lead_batch if precision == "highest"
+               else zscore_per_lead_batch_onepass)
+
         if self._quant_forward is not None:
             self._xla_forward = None  # _forward always takes the quant branch
         elif arch == "multimodal":
 
             @jax.jit
             def _xla_forward(variables, x, d):
-                h = zscore_per_lead_batch(x) if self.normalize else x
+                h = _zs(x) if self.normalize else x
                 logits = self.model.apply(variables, h, d, False)
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 
@@ -207,7 +216,7 @@ class Predictor:
 
             @jax.jit
             def _xla_forward(variables, x):
-                h = zscore_per_lead_batch(x) if self.normalize else x
+                h = _zs(x) if self.normalize else x
                 logits = self.model.apply(variables, h, False)
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 

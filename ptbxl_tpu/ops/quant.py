@@ -49,7 +49,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+from ptbxl_tpu.ops.preprocess import (
+    zscore_per_lead_batch,
+    zscore_per_lead_batch_onepass,
+)
 
 # Default mixed-precision config: int8 only where it wins (see module doc).
 # Per-arch: FiLM conditioning multiplies the backbone features, amplifying
@@ -226,6 +229,16 @@ def make_quantized_forward(
 
     ``arrs`` is the array-only pytree from :func:`split_meta`; the static
     meta is bound here so the result is directly jittable.
+
+    Normalization uses the one-pass moment form (E[x^2]-E[x]^2, f32): XLA
+    fuses both reductions into a single HBM read, worth ~3% end-to-end at
+    the headline batch (tools/probe_zscore.py: 144.0k vs 139.9k rec/s in
+    -model; the Pallas alternatives LOSE — a [B,5000,12] custom-call
+    operand forces the 10.7x lane-padded T(8,128) layout, and the lane
+    -remap kernel's boundary reshapes are real copies).  Numerics vs the
+    two-pass parity form differ by ~1e-6 in f32 — invisible under the demo
+    -pack / battery gates.  Calibration (quantize_model) keeps the two-pass
+    form: it is offline and stays byte-aligned with the parity oracle.
     """
 
     def ecg_z(q, h):
@@ -235,7 +248,7 @@ def make_quantized_forward(
     if arch == "multimodal":
 
         def fwd(q, x, demo):
-            h = zscore_per_lead_batch(x.astype(jnp.float32)) if normalize else x
+            h = zscore_per_lead_batch_onepass(x) if normalize else x
             z = ecg_z(q, _conv_stack(q, h, n_blocks, int8_layers))
             d = jnp.asarray(demo, jnp.float32)
             e = jnp.maximum(d @ q["fc1_w"] + q["fc1_b"], 0.0)
@@ -249,7 +262,7 @@ def make_quantized_forward(
     else:
 
         def fwd(q, x):
-            h = zscore_per_lead_batch(x.astype(jnp.float32)) if normalize else x
+            h = zscore_per_lead_batch_onepass(x) if normalize else x
             z = ecg_z(q, _conv_stack(q, h, n_blocks, int8_layers))
             logits = z @ q["head_w"] + q["head_b"]
             return jax.nn.sigmoid(logits)

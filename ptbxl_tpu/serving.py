@@ -44,7 +44,10 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
 
     from ptbxl_tpu.models.ecg_cnn import ECGCNN
     from ptbxl_tpu.models.ecg_multimodal import ECGMultimodal
-    from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch
+    from ptbxl_tpu.ops.preprocess import (
+        zscore_per_lead_batch,
+        zscore_per_lead_batch_onepass,
+    )
 
     if precision == "int8":
         # PTQ path (ops/quant.py): deep conv int8, BN folded, calibrated at
@@ -91,6 +94,11 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
 
     model_precision = None if precision == "default" else precision
     model_dtype = jnp.bfloat16 if precision == "default" else jnp.float32
+    # perf precisions ship the fused one-pass moment normalization (single
+    # HBM read for both moments — tools/probe_zscore.py); 'highest' keeps
+    # the exact two-pass parity form
+    zs = (zscore_per_lead_batch if precision == "highest"
+          else zscore_per_lead_batch_onepass)
     if arch == "multimodal":
         model = ECGMultimodal(
             feat_dim=feat_dim, num_labels=num_labels,
@@ -99,7 +107,7 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
         )
 
         def forward(x, d):
-            h = zscore_per_lead_batch(x) if normalize else x
+            h = zs(x) if normalize else x
             logits = model.apply(variables, h, d, False)
             return jax.nn.sigmoid(logits.astype(jnp.float32))
 
@@ -110,7 +118,7 @@ def _build_forward(variables, arch: str, num_labels: int, feat_dim: int,
         )
 
         def forward(x):
-            h = zscore_per_lead_batch(x) if normalize else x
+            h = zs(x) if normalize else x
             logits = model.apply(variables, h, False)
             return jax.nn.sigmoid(logits.astype(jnp.float32))
 

@@ -15,7 +15,10 @@ from ptbxl_tpu.ops.pallas.fused_ecgcnn import (  # noqa: E402
     fold_bn_into_conv,
     fused_ecgcnn_probs,
 )
-from ptbxl_tpu.ops.pallas.zscore import zscore_pallas  # noqa: E402
+from ptbxl_tpu.ops.pallas.zscore import (  # noqa: E402
+    zscore_pallas,
+    zscore_pallas_wide,
+)
 from ptbxl_tpu.ops.preprocess import zscore_per_lead_batch  # noqa: E402
 
 
@@ -24,6 +27,22 @@ def test_zscore_kernel_matches_xla(rng):
     got = zscore_pallas(x, interpret=True)
     want = zscore_per_lead_batch(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_zscore_wide_kernel_matches_xla(rng):
+    """Lane-remap kernel: per-lead fold via the [W,W] mod-12 matmul, batch
+    padding to block_b, and bf16 out_dtype.  Kept in-tree as the measured
+    negative result for the zscore headroom (tools/probe_zscore.py: boundary
+    reshapes are real copies on this backend; the one-pass XLA form ships)."""
+    x = jnp.asarray(rng.standard_normal((5, 240, 12)).astype(np.float32) * 4 + 2)
+    want = np.asarray(zscore_per_lead_batch(x))
+    got = zscore_pallas_wide(x, width=36, block_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    got_b = zscore_pallas_wide(x, out_dtype=jnp.bfloat16, width=36, block_b=2,
+                               interpret=True)
+    assert got_b.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_b, np.float32), want, atol=2e-2)
 
 
 @pytest.fixture(scope="module")

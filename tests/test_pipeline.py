@@ -128,6 +128,35 @@ def test_zscore_matches_host_math():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_zscore_onepass_matches_twopass():
+    """The perf-path one-pass moment form (E[x^2]-E[x]^2, single fused HBM
+    read — shipped in the quant/bf16 serving forwards, tools/probe_zscore.py)
+    stays within f32 noise of the exact two-pass parity form, including with
+    the large baseline offsets where cancellation bites, a constant (zero
+    -variance) lead, and a bf16 wire batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptbxl_tpu.ops.preprocess import (
+        zscore_per_lead_batch,
+        zscore_per_lead_batch_onepass,
+    )
+
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((4, 5000, 12)) * 2.5 + 40.0).astype(np.float32)
+    x[1, :, 3] = 7.25  # constant lead: var==0 must not produce NaN
+    want = np.asarray(jax.jit(zscore_per_lead_batch)(x))
+    got = np.asarray(jax.jit(zscore_per_lead_batch_onepass)(x))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+    xb = jnp.asarray(x, jnp.bfloat16)
+    got_b = np.asarray(jax.jit(zscore_per_lead_batch_onepass)(xb))
+    want_b = np.asarray(jax.jit(zscore_per_lead_batch)(xb.astype(jnp.float32)))
+    assert got_b.dtype == np.float32  # f32 accumulation regardless of wire
+    np.testing.assert_allclose(got_b, want_b, atol=5e-4)
+
+
 def test_padding_wraps_distinct_records(ptbxl_dir):
     """Final-batch pads come from the epoch order (distinct records), not 50
     copies of one row — train-mode BN statistics stay ~unbiased (PARITY.md)."""
