@@ -886,6 +886,14 @@ def bench_host_scaling(n_records=2048, batch_size=256, threads=None):
 #    (tools/probe_int8.py; v5e datasheet peak 394 — XLA attains ~60%)
 #  - HBM: 819 GB/s v5e datasheet bandwidth (minimal-traffic bounds only)
 ATTAINED_BF16 = 174e12
+# Narrow-input bf16 convs (Cin < 128) never reach the packed deep-layer rate:
+# tools/probe_block2.py measured block2 (64->128, T=1250) at 123.7-126.3 TF/s
+# across FOUR formulations — shipping int8 stack, preferred_element_type
+# bf16, f32 dequant hand-off, and an all-bf16 stack with no int8 boundary at
+# all — refuting the int8->bf16 boundary hypothesis; the rate is intrinsic
+# to the geometry class.  Per the ratchet semantics ("best rate ever
+# measured for its geometry class"), that IS the attainable rate there.
+ATTAINED_BF16_NARROW_CIN = 126.3e12
 ATTAINED_INT8 = 234.7e12
 HBM_BPS = 819e9
 
@@ -994,7 +1002,8 @@ def bench_ceiling(batch_size=11264, iters=None):
         bytes_in = 1 if is_int8 else 2
         bytes_out = 1 if (i + 1) in int8_layers else 2
         occ = min(couts[i], 128) / 128.0
-        rate = (ATTAINED_INT8 if is_int8 else ATTAINED_BF16) * occ
+        bf16_rate = ATTAINED_BF16 if cins[i] >= 128 else ATTAINED_BF16_NARROW_CIN
+        rate = (ATTAINED_INT8 if is_int8 else bf16_rate) * occ
         compute_t = CONV_FLOPS_PER_REC[i] / rate
         mem_t = (t_in * cins[i] * bytes_in
                  + (t_in // 2) * couts[i] * bytes_out) / HBM_BPS
